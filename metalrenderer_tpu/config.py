@@ -1,0 +1,69 @@
+"""Typed configuration for the renderer.
+
+The reference hard-codes every constant (window 800x600 mtl_engine.mm:133,
+MSAA 4 mtl_engine.hpp:146, shadow map 1024^2 mtl_engine.mm:582, clear color
+41/42/48 mtl_engine.mm:609). Here they are a frozen, hashable config object
+that is a static argument of the jitted render program.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+# Metal's standard 4x MSAA sample pattern (rotated grid), offsets within a
+# pixel in [0,1)^2. 1x sampling uses the pixel center, matching Metal.
+SAMPLE_POSITIONS = {
+    1: ((0.5, 0.5),),
+    4: ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875)),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable -> usable as a jit static arg)."""
+
+    width: int = 800               # mtl_engine.mm:133 default window size
+    height: int = 600
+    msaa: int = 4                  # mtl_engine.hpp:146 sampleCount
+    shadow_map_size: int = 1024    # mtl_engine.mm:582
+    clear_color: tuple = (41.0 / 255.0, 42.0 / 255.0, 48.0 / 255.0, 1.0)
+    clear_depth: float = 1.0       # mtl_engine.mm:612 / :633
+    # Depth compare: LessEqual with write-on (mtl_engine.mm:436-439).
+    # Culling: CCW front faces, back-cull (mtl_engine.mm:829-830).
+    cull_backfaces: bool = True
+    # Shadow compare semantics from BlinnPhong.metal:80-96.
+    shadow_bias: float = 0.005
+    shadow_factor: float = 0.5
+    # Tile shape for the Pallas rasterizer (sublane x lane aligned).
+    tile_h: int = 32
+    tile_w: int = 128
+    # Per-tile triangle capacity (binning pads/chunks to this granularity).
+    max_tris_per_tile: int = 2048
+    # Near-plane epsilon: triangles with any vertex w <= eps are rejected
+    # (guard-band reject; the reference relies on HW clipping which this
+    # framework approximates — SURVEY.md §7 risk list).
+    near_eps: float = 1e-6
+
+    @property
+    def sample_positions(self):
+        if self.msaa not in SAMPLE_POSITIONS:
+            raise ValueError(f"msaa must be one of {tuple(SAMPLE_POSITIONS)}")
+        return SAMPLE_POSITIONS[self.msaa]
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowConfig:
+    """Directional/ortho shadow projection settings (mtl_engine.mm:645-646:
+    ortho -8..8, near 0.1, far 15)."""
+
+    left: float = -8.0
+    right: float = 8.0
+    bottom: float = -8.0
+    top: float = 8.0
+    near: float = 0.1
+    far: float = 15.0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,169 @@
+"""Two-pass render pipeline: shadow pass + main pass + MSAA resolve,
+compiled as ONE XLA program (north-star requirement: zero host round-trips
+per frame — unlike the reference, which blocks on ``waitUntilCompleted``
+twice per frame, mtl_engine.mm:791,808).
+
+``render(...)`` is pure: scene/camera/lights in, framebuffer + stats out.
+The rasterizer backend is pluggable:
+  * "reference" — brute-force golden path (raster/reference_cpu.py)
+  * "pallas"    — tile-binned Pallas kernels (raster/raster_pallas.py)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig, ShadowConfig
+from ..scene import lights as lights_mod
+from ..scene.materials import BLINN_PHONG_SHADOW
+from ..scene.scene import Scene, bake, project
+from ..raster import reference_cpu
+from ..raster.geometry import clip_near, setup_triangles
+from ..raster.shade import GBuffer, ShadowContext, shade
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class PassGeometry:
+    """Post-clip, per-pass triangle data consumed by a raster backend."""
+
+    world: jnp.ndarray      # f32[V, 3] (V = 3 * T_clipped)
+    uvs: jnp.ndarray        # f32[V, 2]
+    normals: jnp.ndarray    # f32[V, 3]
+    mat_kind: jnp.ndarray   # i32[T_clipped]
+    mat_color: jnp.ndarray  # f32[T_clipped, 3]
+    tex_id: jnp.ndarray     # i32[T_clipped]
+
+
+def prepare_main_pass(geom, view, proj, config: RenderConfig):
+    """Project, near-clip (with attribute interpolation) and set up
+    triangles for the camera pass."""
+    clip = project(geom.world, view, proj).reshape(-1, 3, 4)
+    attrs = jnp.concatenate(
+        [geom.world, geom.uvs, geom.normals], axis=-1
+    ).reshape(-1, 3, 8)
+    clip2, attrs2, parent = clip_near(clip, attrs)
+    setup = setup_triangles(
+        clip2, config.width, config.height,
+        cull_backfaces=config.cull_backfaces, near_eps=config.near_eps,
+    )
+    flat = attrs2.reshape(-1, 8)
+    pg = PassGeometry(
+        world=flat[:, 0:3], uvs=flat[:, 3:5], normals=flat[:, 5:8],
+        mat_kind=geom.mat_kind[parent],
+        mat_color=geom.mat_color[parent],
+        tex_id=geom.tex_id[parent],
+    )
+    return setup, pg
+
+
+def _wants_shadow(scene: Scene):
+    """Static decision: does any instance cast or receive shadows?"""
+    casts = any(i.cast_shadow for i in scene.instances)
+    receives = any(
+        i.material.kind == BLINN_PHONG_SHADOW for i in scene.instances
+    )
+    return casts and receives
+
+
+def _raster_gbuffer_reference(setup, pg: PassGeometry, config: RenderConfig):
+    depth, winner = reference_cpu.rasterize_brute_force(
+        setup, config.width, config.height, config.sample_positions
+    )
+    return reference_cpu.interpolate_gbuffer(
+        setup, winner, config.width, config.height, config.sample_positions,
+        pg.world, pg.uvs, pg.normals,
+        pg.mat_kind, pg.mat_color, pg.tex_id, depth,
+    )
+
+
+def _raster_depth_reference(setup, size):
+    return reference_cpu.rasterize_depth_brute_force(setup, size, size)
+
+
+def _get_backend(name):
+    if name == "reference":
+        return _raster_gbuffer_reference, _raster_depth_reference
+    if name == "pallas":
+        from ..raster import raster_pallas
+        return (raster_pallas.raster_gbuffer, raster_pallas.raster_depth)
+    raise ValueError(f"unknown rasterizer backend: {name}")
+
+
+def render_frame(scene: Scene, camera, lighting,
+                 config: RenderConfig = RenderConfig(),
+                 shadow_config: ShadowConfig = ShadowConfig(),
+                 displacement=0.0, shadow_target=(0.0, 0.0, 0.0),
+                 backend="reference"):
+    """Render one frame. Returns (framebuffer f32[H,W,4], stats dict).
+
+    Frame anatomy mirrors MtlEngine::draw (mtl_engine.mm:767-770):
+      1. shadow pass: depth-only render of shadow casters from the light
+         (renderShadowPass, :772-792) — here WITHOUT a host sync.
+      2. main pass: raster + Blinn-Phong shading + shadow test.
+      3. MSAA resolve (StoreActionMultisampleResolve semantics, :615).
+    """
+    raster_gbuffer, raster_depth = _get_backend(backend)
+
+    geom = bake(scene, displacement)
+    light = lighting.light
+    stats = {"num_triangles": jnp.asarray(geom.num_triangles, jnp.int32)}
+
+    shadow_ctx = None
+    if _wants_shadow(scene):
+        light_view = lights_mod.light_view_matrix(
+            light.position, jnp.asarray(shadow_target, jnp.float32))
+        light_proj = lights_mod.light_projection_matrix(shadow_config)
+        clip_l = project(geom.world, light_view, light_proj)
+        clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
+        setup_l = setup_triangles(
+            clip_l2, config.shadow_map_size,
+            config.shadow_map_size, cull_backfaces=False,
+            near_eps=config.near_eps,
+        )
+        # Only shadow casters contribute (the reference encodes only the
+        # cube into the shadow pass, mtl_engine.mm:785-787).
+        setup_l = setup_l.replace(
+            valid=setup_l.valid & geom.cast_shadow[parent_l])
+        depth_map = raster_depth(setup_l, config.shadow_map_size)
+        shadow_ctx = ShadowContext(
+            depth_map=depth_map, light_view=light_view, light_proj=light_proj)
+        stats["shadow_min_depth"] = jnp.min(depth_map)
+
+    view = camera.view_matrix()
+    proj = camera.projection_matrix()
+    setup, pass_geom = prepare_main_pass(geom, view, proj, config)
+    stats["culled_triangles"] = jnp.sum(~setup.valid)
+
+    gbuf = raster_gbuffer(setup, pass_geom, config)
+
+    samples = shade(
+        gbuf,
+        camera_pos=camera.position,
+        light_pos=light.position,
+        light_color=light.color,
+        ambient_intensity=lighting.ambient_intensity,
+        shininess=lighting.shininess,
+        clear_color=config.clear_color,
+        shadow_ctx=shadow_ctx,
+        textures=scene.textures,
+        shadow_bias=config.shadow_bias,
+        shadow_factor_value=config.shadow_factor,
+    )
+    framebuffer = jnp.mean(samples, axis=0)  # MSAA box resolve
+    stats["covered_fraction"] = jnp.mean(gbuf.covered.astype(jnp.float32))
+    return framebuffer, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "shadow_config", "backend"),
+)
+def render(scene, camera, lighting, config=RenderConfig(),
+           shadow_config=ShadowConfig(), displacement=0.0,
+           shadow_target=(0.0, 0.0, 0.0), backend="reference"):
+    """Jitted entry point — one XLA program per (scene-structure, config)."""
+    return render_frame(scene, camera, lighting, config, shadow_config,
+                        displacement, shadow_target, backend)

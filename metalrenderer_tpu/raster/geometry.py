@@ -1,0 +1,235 @@
+"""Triangle setup: clip space -> screen space, edge equations, fill rule.
+
+This replaces the fixed-function rasterizer state of the reference
+(mtl_engine.mm:829-830 CCW front + back-cull; depth LessEqual :436-439;
+Metal viewport/clip conventions with NDC z in [0,1]).
+
+Design note (TPU-first): every per-pixel quantity of a triangle — edge
+functions, NDC depth, 1/w, and attribute/w — is an *affine* function of the
+screen position ``(sx, sy)``. Triangle setup therefore emits plane
+coefficients ``(A, B, C)`` such that ``value(p) = A*sx + B*sy + C``; the
+rasterizer evaluates all of them for a tile of pixels as one
+``[P, 3] @ [3, K*D]`` matmul on the MXU. Scalar per-pixel work never happens.
+
+Screen mapping (Metal viewport):
+    sx = (ndc.x + 1) * W / 2,  sy = (1 - ndc.y) * H / 2   (y flipped, row 0 top)
+    sample centers at pixel corner + sample offset (0.5,0.5 for 1x).
+
+Fill rule: D3D/Metal top-left rule. With inside-positive oriented edges in
+y-down screen coordinates: a sample exactly on an edge is covered iff the
+edge is horizontal pointing +x (top edge) or has dy < 0 (left edge).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class TriangleSetup:
+    """Per-triangle rasterization data (struct-of-arrays over T triangles)."""
+
+    valid: jnp.ndarray      # bool[T] passes reject tests (w, area, cull)
+    screen: jnp.ndarray     # f32[T, 3, 2] screen-space vertex positions
+    z: jnp.ndarray          # f32[T, 3] NDC depth per vertex (Metal [0,1])
+    inv_w: jnp.ndarray      # f32[T, 3] 1/clip.w per vertex
+    edge: jnp.ndarray       # f32[T, 3, 3] oriented (A,B,C) per edge
+                            # order: [e01, e12, e20]; inside => all >= 0
+    top_left: jnp.ndarray   # bool[T, 3] top-left flag per edge
+    inv_area: jnp.ndarray   # f32[T] 1 / oriented (positive) double-area
+    aabb: jnp.ndarray       # f32[T, 4] (xmin, ymin, xmax, ymax) pixel coords
+
+
+def clip_to_screen(clip, width, height, near_eps=1e-6):
+    """Perspective divide + viewport map. clip: f32[T,3,4].
+
+    Returns (screen f32[T,3,2], z f32[T,3], inv_w f32[T,3], w_ok bool[T]).
+    Triangles with any vertex w <= near_eps are flagged invalid (guard-band
+    near rejection; the reference relies on HW clipping).
+    """
+    w = clip[..., 3]
+    w_ok = jnp.all(w > near_eps, axis=-1)
+    safe_w = jnp.where(w > near_eps, w, 1.0)
+    inv_w = 1.0 / safe_w
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
+    sy = (1.0 - ndc[..., 1]) * (0.5 * height)
+    screen = jnp.stack([sx, sy], axis=-1)
+    return screen, ndc[..., 2], inv_w, w_ok
+
+
+def setup_triangles(clip, width, height, cull_backfaces=True,
+                    near_eps=1e-6) -> TriangleSetup:
+    """Batched triangle setup. clip: f32[T,3,4] (vertex order = winding).
+
+    Front faces are CCW in NDC (mtl_engine.mm:829) which maps to negative
+    signed double-area in y-down screen coordinates; edges are sign-flipped
+    so that inside => all edge functions >= 0 regardless of facing.
+    """
+    screen, z, inv_w, w_ok = clip_to_screen(clip, width, height, near_eps)
+
+    v0, v1, v2 = screen[:, 0], screen[:, 1], screen[:, 2]
+    # Edge vectors for e01, e12, e20.
+    starts = jnp.stack([v0, v1, v2], axis=1)          # [T,3,2]
+    ends = jnp.stack([v1, v2, v0], axis=1)            # [T,3,2]
+    d = ends - starts                                  # [T,3,2] (dx, dy)
+
+    # Signed double area in y-down screen space: cross(v1-v0, v2-v0).
+    area2 = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - \
+            (v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0])
+    front = area2 < 0.0  # CCW in NDC => negative area after the y flip
+
+    if cull_backfaces:
+        facing_ok = front
+        orient = jnp.full_like(area2, -1.0)
+    else:
+        facing_ok = area2 != 0.0
+        orient = jnp.where(front, -1.0, 1.0)
+
+    do = d * orient[:, None, None]                     # oriented (dx, dy)
+    dxo, dyo = do[..., 0], do[..., 1]
+    ax, ay = starts[..., 0], starts[..., 1]
+    # value(p) = dxo*(py - ay) - dyo*(px - ax)  =  A*px + B*py + C
+    A = -dyo
+    B = dxo
+    C = dyo * ax - dxo * ay
+    edge = jnp.stack([A, B, C], axis=-1)               # [T,3,3]
+
+    top_left = ((dyo == 0.0) & (dxo > 0.0)) | (dyo < 0.0)
+
+    area_pos = orient * area2
+    valid = w_ok & facing_ok & (area_pos > 0.0)
+    inv_area = jnp.where(area_pos > 0.0, 1.0 / jnp.where(area_pos == 0.0, 1.0, area_pos), 0.0)
+
+    xmin = jnp.min(screen[..., 0], axis=1)
+    xmax = jnp.max(screen[..., 0], axis=1)
+    ymin = jnp.min(screen[..., 1], axis=1)
+    ymax = jnp.max(screen[..., 1], axis=1)
+    aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+
+    return TriangleSetup(
+        valid=valid, screen=screen, z=z, inv_w=inv_w, edge=edge,
+        top_left=top_left, inv_area=inv_area, aabb=aabb,
+    )
+
+
+def attribute_planes(setup: TriangleSetup, vertex_values):
+    """Screen-space plane coefficients for perspective-correct interpolation.
+
+    ``vertex_values``: f32[T, 3, D] per-vertex attribute values. Returns
+    f32[T, D, 3] plane coefficients of ``value/w`` (affine in screen space):
+        (attr/w)(p) = A*sx + B*sy + C.
+    Dividing by the interpolated ``1/w`` plane recovers the
+    perspective-correct attribute (Metal's default [[stage_in]]
+    interpolation).
+
+    Derivation: barycentrics are lambda_i = e_opp(i)(p) * inv_area with
+    edge order [e01, e12, e20] -> opposite vertex order [2, 0, 1]; each
+    e is affine, so the weighted sum of (value_i / w_i) is affine too.
+    """
+    # lambda_0 <- e12 (index 1), lambda_1 <- e20 (index 2), lambda_2 <- e01 (0)
+    lam_planes = setup.edge[:, (1, 2, 0), :] * setup.inv_area[:, None, None]
+    over_w = vertex_values * setup.inv_w[..., None]     # [T,3,D]
+    # planes[t, d, c] = sum_i over_w[t, i, d] * lam_planes[t, i, c]
+    return jnp.einsum("tid,tic->tdc", over_w, lam_planes,
+                      precision="highest")
+
+
+def scalar_planes(setup: TriangleSetup, vertex_scalars):
+    """Planes for quantities interpolated *without* perspective correction
+    (NDC z and 1/w themselves are affine in screen space).
+
+    ``vertex_scalars``: f32[T, 3]. Returns f32[T, 3] (A, B, C).
+    """
+    lam_planes = setup.edge[:, (1, 2, 0), :] * setup.inv_area[:, None, None]
+    return jnp.einsum("ti,tic->tc", vertex_scalars, lam_planes,
+                      precision="highest")
+
+
+def clip_near(clip, attrs=None):
+    """Near-plane clipping in homogeneous clip space (Metal: keep z >= 0).
+
+    The reference gets this from Metal's hardware clipper; without it, any
+    triangle with a vertex behind the camera (e.g. the 30x30 floor plane
+    with a close camera) would be lost. Branch-free, static-shape: every
+    input triangle yields exactly TWO output slots (a near clip produces at
+    most 2 triangles); unused slots are degenerate (w=0 => rejected by
+    setup). Output triangle 2t/2t+1 derive from input t, preserving
+    submission order for the LessEqual tie-break.
+
+    Post-condition: all surviving vertices have clip.w >= near > 0, which
+    bounds screen coordinates to ~extent/near * resolution — inside the
+    f32 edge-function precision envelope (see module docstring).
+
+    clip: f32[T,3,4]; attrs: optional f32[T,3,D] interpolated alongside
+    (attribute variation is linear in the clip-space edge parameter because
+    clip is a linear map of object space).
+    Returns (clip2 f32[2T,3,4], attrs2 or None, parent i32[2T]).
+    """
+    T = clip.shape[0]
+    if attrs is None:
+        data = clip
+    else:
+        data = jnp.concatenate([clip, attrs], axis=-1)   # [T,3,4+D]
+    d = clip[..., 2]                                     # z_clip
+    inside = d >= 0.0                                    # [T,3]
+    count = jnp.sum(inside.astype(jnp.int32), axis=-1)   # [T]
+
+    # Rotation so the pattern is canonical: count==1 -> inside vertex first;
+    # count==2 -> outside vertex last.
+    first_in = jnp.argmax(inside, axis=-1)
+    first_out = jnp.argmax(~inside, axis=-1)
+    r = jnp.where(count == 1, first_in,
+                  jnp.where(count == 2, (first_out + 1) % 3, 0))
+    idx = (r[:, None] + jnp.arange(3)[None, :]) % 3      # [T,3]
+    rows = jnp.arange(T)[:, None]
+    vrot = data[rows, idx]                               # [T,3,4+D]
+    drot = d[rows, idx]                                  # [T,3]
+
+    def intersect(a, b, da, db):
+        denom = da - db
+        t = da / jnp.where(denom == 0.0, 1.0, denom)
+        return a + t[..., None] * (b - a)
+
+    v0, v1, v2 = vrot[:, 0], vrot[:, 1], vrot[:, 2]
+    d0, d1, d2 = drot[:, 0], drot[:, 1], drot[:, 2]
+    i01 = intersect(v0, v1, d0, d1)
+    i12 = intersect(v1, v2, d1, d2)
+    i20 = intersect(v2, v0, d2, d0)
+
+    zero = jnp.zeros_like(v0)
+    c = count[:, None]                                   # vs [T, 4+D] verts
+
+    # First output triangle.
+    t1v0 = jnp.where(c == 0, zero, v0)
+    t1v1 = jnp.where(c == 3, v1, jnp.where(c == 2, v1,
+                     jnp.where(c == 1, i01, zero)))
+    t1v2 = jnp.where(c == 3, v2, jnp.where(c == 2, i12,
+                     jnp.where(c == 1, i20, zero)))
+    # Second output triangle (only the count==2 case needs it).
+    t2v0 = jnp.where(c == 2, v0, zero)
+    t2v1 = jnp.where(c == 2, i12, zero)
+    t2v2 = jnp.where(c == 2, i20, zero)
+
+    tri1 = jnp.stack([t1v0, t1v1, t1v2], axis=1)         # [T,3,4+D]
+    tri2 = jnp.stack([t2v0, t2v1, t2v2], axis=1)
+    out = jnp.stack([tri1, tri2], axis=1).reshape(2 * T, 3, -1)
+    parent = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
+    if attrs is None:
+        return out[..., :4], None, parent
+    return out[..., :4], out[..., 4:], parent
+
+
+def coverage(setup_edge, setup_top_left, px, py):
+    """Evaluate coverage for a batch of sample positions.
+
+    setup_edge: f32[..., 3, 3]; px, py: f32[P]. Returns bool[..., P] using the
+    top-left fill rule. (Used by the brute-force reference path; the Pallas
+    kernel evaluates the same planes via matmul.)
+    """
+    # e[..., 3, P]
+    e = (setup_edge[..., 0:1] * px + setup_edge[..., 1:2] * py
+         + setup_edge[..., 2:3])
+    on_edge_ok = jnp.where(setup_top_left[..., None], e >= 0.0, e > 0.0)
+    return jnp.all(on_edge_ok, axis=-2)

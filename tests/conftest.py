@@ -1,0 +1,19 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+The driver benches on a real TPU chip; tests exercise numerics and the
+multi-device sharding paths on host CPU with
+``--xla_force_host_platform_device_count=8`` so DP/tile-sharding is tested
+without a TPU pod (SURVEY.md §4d).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

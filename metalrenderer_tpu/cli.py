@@ -1,0 +1,141 @@
+"""Command-line entry points — replacement for the reference's Cocoa app
+shell (main.m / AppDelegate.mm) and the standalone Metal-Tutorial CLI
+(Engine/main.mm). The swapchain becomes PNG files; the ImGui telemetry
+panel becomes a JSON stream.
+
+Usage:
+  python -m metalrenderer_tpu.cli render   [--width W --height H ...]
+  python -m metalrenderer_tpu.cli audioapp --wav in.wav --out-dir frames/
+  python -m metalrenderer_tpu.cli analyze  --wav in.wav
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _add_render_args(p):
+    p.add_argument("--width", type=int, default=800)    # mtl_engine.mm:133
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--msaa", type=int, default=4)
+    p.add_argument("--shadow-map-size", type=int, default=1024)
+    p.add_argument("--backend", default="pallas",
+                   choices=["pallas", "reference"])
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--theta", type=float, default=2.5)
+    p.add_argument("--phi", type=float, default=1.2)
+    p.add_argument("--cube-pos", type=float, nargs=3, default=[0, 0, -1])
+    p.add_argument("--light-pos", type=float, nargs=3, default=[0, 2, 0])
+    p.add_argument("--light-color", type=float, nargs=3, default=[1, 1, 1])
+    p.add_argument("--displacement", type=float, default=0.0)
+
+
+def cmd_render(args):
+    from .config import RenderConfig
+    from .engine import audio_app
+    from .io import png
+    from .scene.camera import OrbitCamera
+
+    cfg = RenderConfig(width=args.width, height=args.height, msaa=args.msaa,
+                       shadow_map_size=args.shadow_map_size)
+    cam = OrbitCamera(radius=args.radius, theta=args.theta, phi=args.phi,
+                      aspect=args.width / args.height)
+    fb, stats = audio_app.render_audio_app(
+        cube_position=tuple(args.cube_pos),
+        light_position=tuple(args.light_pos),
+        light_color=tuple(args.light_color),
+        displacement=args.displacement,
+        camera=cam, config=cfg, backend=args.backend)
+    png.write_png(args.out, np.asarray(fb))
+    print(json.dumps({k: float(v) for k, v in stats.items()}))
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+def cmd_audioapp(args):
+    from .config import RenderConfig
+    from .engine.renderer import render_audio_reactive_sequence
+    from .io import png, wav
+    from .scene.camera import OrbitCamera
+
+    samples, rate = wav.read_wav(args.wav)
+    mono = samples[0]
+    cfg = RenderConfig(width=args.width, height=args.height, msaa=args.msaa,
+                       shadow_map_size=args.shadow_map_size)
+    cam = OrbitCamera(radius=args.radius, theta=args.theta, phi=args.phi,
+                      aspect=args.width / args.height)
+    frames, telemetry = render_audio_reactive_sequence(
+        mono, rate, camera=cam, config=cfg, backend=args.backend,
+        max_frames=args.max_frames,
+        cube_position=tuple(args.cube_pos),
+        light_position=tuple(args.light_pos))
+    out = pathlib.Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    frames = np.asarray(frames)
+    for i in range(frames.shape[0]):
+        png.write_png(out / f"frame_{i:05d}.png", frames[i])
+    telem = {k: np.asarray(v).tolist() for k, v in telemetry.items()}
+    (out / "telemetry.json").write_text(json.dumps(telem, indent=1))
+    print(f"wrote {frames.shape[0]} frames to {out}", file=sys.stderr)
+
+
+def cmd_analyze(args):
+    """Telemetry parity with the ImGui overlay (mtl_engine.mm:880-933):
+    RMS, rolling average, band energies, pitch + confidence, and the
+    MusicalContext per 1024-sample chunk, as JSON lines."""
+    import jax.numpy as jnp
+
+    from .audio import analyzer, interpreter
+    from .io import wav
+
+    samples, rate = wav.read_wav(args.wav)
+    _, res = analyzer.analyze_stream(jnp.asarray(samples[0]), float(rate))
+    import jax
+    ctxs = jax.vmap(lambda r: interpreter.interpret(r, float(rate)))(res)
+    n = res.rms.shape[0]
+    for i in range(n):
+        print(json.dumps({
+            "chunk": i,
+            "rms": float(res.rms[i]),
+            "rolling_avg": float(res.rolling_avg[i]),
+            "bass": float(res.bass[i]),
+            "mid": float(res.mid[i]),
+            "treble": float(res.treble[i]),
+            "pitch_hz": float(res.pitch_hz[i]),
+            "pitch_confidence": float(res.pitch_confidence[i]),
+            "energy": float(ctxs.energy[i]),
+            "brightness": float(ctxs.brightness[i]),
+            "melancholy": float(ctxs.melancholy[i]),
+        }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="metalrenderer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render one AudioApp frame to PNG")
+    _add_render_args(p)
+    p.add_argument("--out", default="frame.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("audioapp",
+                       help="render an audio-reactive sequence from a WAV")
+    _add_render_args(p)
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out-dir", default="frames")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_audioapp)
+
+    p = sub.add_parser("analyze", help="audio feature telemetry (JSON lines)")
+    p.add_argument("--wav", required=True)
+    p.set_defaults(fn=cmd_analyze)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

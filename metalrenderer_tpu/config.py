@@ -34,10 +34,12 @@ class RenderConfig:
     shadow_bias: float = 0.005
     shadow_factor: float = 0.5
     # Tile shape for the Pallas rasterizer (sublane x lane aligned).
-    tile_h: int = 32
+    tile_h: int = 8
     tile_w: int = 128
-    # Per-tile triangle capacity (binning pads/chunks to this granularity).
-    max_tris_per_tile: int = 2048
+    # Binning: max tiles a triangle may span before it goes to the shared
+    # "big" list; capacity of that list (overflow counted in stats).
+    span_cap: int = 8
+    big_capacity: int = 256
     # Near-plane epsilon: triangles with any vertex w <= eps are rejected
     # (guard-band reject; the reference relies on HW clipping which this
     # framework approximates — SURVEY.md §7 risk list).

@@ -1,0 +1,102 @@
+"""Frame-loop engine: the TPU-native counterpart of MtlEngine::run.
+
+The reference's per-frame loop (mtl_engine.mm:68-87) interleaves host-side
+uniform rebuilds with two blocking GPU submissions. Here the whole
+audio-reactive sequence — analysis, musical interpretation, audio->visual
+mapping, scene update, shadow pass, main pass, MSAA resolve — compiles
+into ONE XLA program over a batch of frames (zero host round-trips,
+north-star requirement), optionally sharded across devices
+(parallel/sharding.py).
+
+Frame cadence matches the reference's data flow: one 1024-sample audio
+chunk produces one frame's worth of scene parameters (the audio tap fires
+every ~21 ms at 48 kHz, SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..audio import analyzer, interpreter, mapping
+from ..config import RenderConfig, ShadowConfig
+from ..passes.pipeline import render_frame
+from ..scene.lights import Lighting, PointLight
+from . import audio_app
+
+
+def audio_visual_track(samples, sample_rate,
+                       analyzer_state: analyzer.AnalyzerState = None,
+                       visual_state: mapping.VisualState = None):
+    """Audio samples -> per-frame VisualParams (batched over frames).
+
+    Runs the full L5 pipeline (AudioAnalyzer -> MusicalInterpreter ->
+    updateSharedTransformData mapping) as two scans. Returns
+    (analyzer_state, visual_state, VisualParams[batch], MusicalContext[batch]).
+    """
+    sample_rate = jnp.asarray(sample_rate, jnp.float32)
+    a_state, results = analyzer.analyze_stream(samples, sample_rate,
+                                               analyzer_state)
+    ctxs = jax.vmap(lambda r: interpreter.interpret(r, sample_rate))(results)
+
+    if visual_state is None:
+        visual_state = mapping.VisualState.init()
+
+    def env_step(vs, inp):
+        ctx, rms, ravg = inp
+        return mapping.map_audio_to_visual(vs, ctx, rms, ravg)
+
+    v_state, params = jax.lax.scan(
+        env_step, visual_state, (ctxs, results.rms, results.rolling_avg))
+    return a_state, v_state, params, ctxs
+
+
+def render_audio_reactive_sequence(
+        samples, sample_rate,
+        camera=None,
+        cube_position=(0.0, 0.0, -1.0),
+        light_position=(0.0, 2.0, 0.0),
+        config: RenderConfig = RenderConfig(),
+        shadow_config: ShadowConfig = ShadowConfig(),
+        backend="pallas", max_frames=None):
+    """WAV/array in, frame stack out: f32[F, H, W, 4] plus telemetry.
+
+    Equivalent to running the reference app against recorded audio: the
+    light cube's color/brightness follow pitch/spectrum and the main
+    cube's vertices pulse with loudness (mtl_engine.mm:715-762).
+    """
+    if camera is None:
+        camera = audio_app.default_camera(config.width, config.height)
+
+    _, _, params, ctxs = audio_visual_track(samples, sample_rate)
+    if max_frames is not None:
+        params = jax.tree.map(lambda x: x[:max_frames], params)
+        ctxs = jax.tree.map(lambda x: x[:max_frames], ctxs)
+
+    cube_position = jnp.asarray(cube_position, jnp.float32)
+    light_position = jnp.asarray(light_position, jnp.float32)
+
+    def frame(p: mapping.VisualParams):
+        scene = audio_app.build_scene(cube_position, light_position,
+                                      p.light_color)
+        lighting = Lighting(
+            light=PointLight(position=light_position, color=p.light_color,
+                             intensity=p.light_intensity),
+            ambient_intensity=jnp.asarray(0.1, jnp.float32),
+            shininess=jnp.asarray(32.0, jnp.float32),
+        )
+        fb, _ = render_frame(scene, camera, lighting, config, shadow_config,
+                             p.displacement, cube_position, backend)
+        return fb
+
+    frames = jax.lax.map(frame, params)
+    telemetry = {
+        "light_color": params.light_color,
+        "light_intensity": params.light_intensity,
+        "displacement": params.displacement,
+        "energy": ctxs.energy,
+        "brightness": ctxs.brightness,
+        "melancholy": ctxs.melancholy,
+        "pitch_hz": ctxs.dominant_pitch,
+        "pitch_confidence": ctxs.pitch_confidence,
+    }
+    return frames, telemetry

@@ -1,0 +1,136 @@
+"""Multi-device scale-out (SURVEY.md §2 "Parallelism & communication").
+
+The reference is strictly single-GPU (one MTL::Device, mtl_engine.mm:122).
+Here the analogous axes are first-class and TPU-native:
+
+  * Frame-batch data parallelism (BASELINE config 5): a batch of frames
+    (animated parameters: displacement, camera angle, light color) is
+    sharded across a 1-D device mesh with ``shard_map``; each device runs
+    the full single-frame pipeline — including the Pallas raster kernel —
+    on its local frames via ``lax.map`` (no vmap of the kernel needed).
+    Zero cross-device communication during rendering; the gather happens
+    only if the host assembles the batch (XLA all_gather on ICI).
+  * Tile-sharded single frame: the framebuffer is split into horizontal
+    bands, one per device; each device rasterizes the full triangle list
+    against its band (binning makes non-overlapping work cheap) and the
+    bands concatenate back along ICI.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig, ShadowConfig
+from ..passes.pipeline import render_frame
+
+
+def make_mesh(num_devices=None, axis="batch"):
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_frame_batch(scene, camera, lighting, displacements, thetas,
+                       mesh: Mesh,
+                       config: RenderConfig = RenderConfig(),
+                       shadow_config: ShadowConfig = ShadowConfig(),
+                       shadow_target=(0.0, 0.0, 0.0), backend="pallas"):
+    """Render a batch of frames sharded over ``mesh``'s 'batch' axis.
+
+    displacements, thetas: f32[B] with B divisible by mesh size. Returns
+    framebuffers f32[B, H, W, 4].
+    """
+    displacements = jnp.asarray(displacements, jnp.float32)
+    thetas = jnp.asarray(thetas, jnp.float32)
+
+    def one(args):
+        disp, theta = args
+        cam = camera.replace(theta=theta)
+        fb, _ = render_frame(scene, cam, lighting, config, shadow_config,
+                             disp, shadow_target, backend)
+        return fb
+
+    def local(disp_shard, theta_shard):
+        return jax.lax.map(one, (disp_shard, theta_shard))
+
+    shardf = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("batch"), P("batch")),
+        out_specs=P("batch"),
+        check_vma=False,  # scan carries inside the raster are unvarying
+    )
+    return jax.jit(shardf)(displacements, thetas)
+
+
+def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
+                        config: RenderConfig = RenderConfig(),
+                        shadow_config: ShadowConfig = ShadowConfig(),
+                        displacement=0.0, shadow_target=(0.0, 0.0, 0.0),
+                        backend="pallas"):
+    """Render ONE frame with the framebuffer row-sharded across devices.
+
+    Each device renders a horizontal band of the image: the vertex stage
+    is replicated (cheap), rasterization/shading run on the local band
+    only (viewport offset via a per-device scissor on the projected
+    geometry). Output: f32[H, W, 4] sharded along rows.
+    """
+    n = mesh.size
+    if config.height % n:
+        raise ValueError(f"height {config.height} not divisible by mesh size {n}")
+    band_h = config.height // n
+    band_cfg = config.replace(height=band_h)
+
+    def local_band(band_index):
+        # Shift the viewport: rendering rows [b*band_h, (b+1)*band_h) of
+        # the full image == rendering a band_h-tall image whose screen-y
+        # is offset. We implement the offset by adjusting the camera
+        # projection with a principal-point shift.
+        b = band_index[0]
+        fb, _ = render_frame(
+            scene, _banded_camera(camera, n, b), lighting, band_cfg,
+            shadow_config, displacement, shadow_target, backend)
+        return fb
+
+    band_ids = jnp.arange(n, dtype=jnp.int32)
+    shardf = jax.shard_map(
+        local_band, mesh=mesh, in_specs=(P("batch"),), out_specs=P("batch"),
+        check_vma=False,
+    )
+    out = jax.jit(shardf)(band_ids)      # [H, W, 4] row-sharded
+    return out
+
+
+def _banded_camera(camera, n_bands, band):
+    """Camera whose projection maps the full-frame band ``band`` of ``n``
+    onto the whole (band-sized) viewport: y' in NDC terms."""
+
+    class _BandCam:
+        # Lightweight adapter: same interface as OrbitCamera.
+        def __init__(self, cam):
+            self._cam = cam
+
+        @property
+        def position(self):
+            return self._cam.position
+
+        def view_matrix(self):
+            return self._cam.view_matrix()
+
+        def projection_matrix(self):
+            p = self._cam.projection_matrix()
+            # NDC y in [-1,1] maps to rows [0,H]. Band b covers NDC
+            # [1 - 2(b+1)/n, 1 - 2b/n]. Affine remap to [-1, 1]:
+            # y' = n*y - (n - 1 - 2b).
+            nf = jnp.float32(n_bands)
+            bf = jnp.asarray(band, jnp.float32)
+            scale = nf
+            offset = -(nf - 1.0 - 2.0 * bf)
+            row = p[1] * scale + p[3] * offset
+            return p.at[1].set(row)
+
+    return _BandCam(camera)

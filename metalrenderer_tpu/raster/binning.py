@@ -1,0 +1,229 @@
+"""Tile binning: triangle AABBs -> chunk-aligned per-tile triangle lists.
+
+TPU-native replacement for the work distribution Metal's hardware
+rasterizer does implicitly. All static shapes (SURVEY.md §7 risk
+"variable-length tile bins").
+
+Layout contract with raster_pallas.py (chosen for Mosaic's alignment
+rules — no unaligned DMA slices, no scalar extracts from VMEM):
+
+  * Triangles expand to (tile, tri) entries (span cap K), stably sorted by
+    tile id — stability preserves submission order, which the LessEqual
+    depth tie-break requires (mtl_engine.mm:437).
+  * Entries are packed into chunks of 64; every tile owns
+    ``max(1, ceil(count/64))`` whole chunks (an empty tile still owns one
+    chunk so the kernel initializes its framebuffer block).
+  * Each chunk becomes a ``[3, 512]`` f32 matmul operand: rows A, B, C of
+    8 lane-groups x 64 triangles: [e0 | e1 | e2 | z | tl0 | tl1 | tl2 |
+    valid]. Edge/z groups hold real plane coefficients; flag groups have
+    A=B=0 so the "plane" evaluates to the constant flag.
+  * Triangles spanning more than the cap (e.g. the floor plane) go to a
+    fixed-capacity "big" list in the same chunk format, processed by every
+    tile (gated by a per-chunk union-AABB test). Overflow is counted,
+    never silently dropped.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+from .geometry import TriangleSetup, scalar_planes
+
+CHUNK = 64          # triangles per chunk (matmul lane group)
+GROUPS = 8          # e0, e1, e2, z, tl0, tl1, tl2, valid
+COLS = CHUNK * GROUPS  # 512
+
+
+def build_tri_fields(setup: TriangleSetup) -> jnp.ndarray:
+    """Per-triangle raw fields [T, 16]:
+    A0,B0,C0, A1,B1,C1, A2,B2,C2, az,bz,cz, tl0,tl1,tl2, valid."""
+    zplanes = scalar_planes(setup, setup.z)          # [T, 3]
+    rec = jnp.concatenate(
+        [
+            setup.edge.reshape(-1, 9),
+            zplanes,
+            setup.top_left.astype(jnp.float32),
+            setup.valid.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    return rec
+
+
+def _fields_to_chunks(fields_padded):
+    """[N*CHUNK, 16] -> matmul operand [N, 3, COLS]."""
+    n = fields_padded.shape[0] // CHUNK
+    r = fields_padded.reshape(n, CHUNK, 16)
+    zeros4 = jnp.zeros((n, CHUNK, 4), jnp.float32)
+    # Rows gather (field indices per group) then [N, CHUNK, G] -> [N, G*CHUNK]
+    a = jnp.concatenate([r[:, :, (0, 3, 6, 9)], zeros4], axis=-1)
+    b = jnp.concatenate([r[:, :, (1, 4, 7, 10)], zeros4], axis=-1)
+    c = r[:, :, (2, 5, 8, 11, 12, 13, 14, 15)]
+    def to_cols(x):  # [N, CHUNK, G] -> [N, G*CHUNK]
+        return x.transpose(0, 2, 1).reshape(n, COLS)
+    return jnp.stack([to_cols(a), to_cols(b), to_cols(c)], axis=1)
+
+
+@pytree_dataclass
+class TileBins:
+    """Binning result consumed by the raster kernel."""
+
+    # --- scalar prefetch (one per chunk grid step) ---
+    tile_of_chunk: jnp.ndarray   # i32[MC] output tile per chunk (monotone)
+    chunk_live: jnp.ndarray      # i32[MC] live entries in chunk (0 => skip)
+    first_flag: jnp.ndarray      # i32[MC] 1 on a tile's first chunk
+    last_flag: jnp.ndarray       # i32[MC] 1 on a tile's last chunk
+    # --- blocked operands ---
+    chunks: jnp.ndarray          # f32[MC, 3, COLS]
+    entry_to_tri: jnp.ndarray    # i32[MC*CHUNK + BC*CHUNK] -> tri id or -1
+    # --- big list ---
+    big_chunks: jnp.ndarray      # f32[BC, 3, COLS]
+    big_live: jnp.ndarray        # i32[BC] live entries per big chunk
+    big_aabb: jnp.ndarray        # i32[BC*4] union xmin,ymin,xmax,ymax
+    num_big_dropped: jnp.ndarray  # i32[] overflow beyond capacity
+
+
+def num_chunks(num_tiles, num_triangles, span_cap):
+    """Static chunk-grid size for (tiles, tris)."""
+    e = num_triangles * span_cap
+    return num_tiles + -(-e // CHUNK)
+
+
+def bin_triangles(setup: TriangleSetup, fields, width, height,
+                  tile_w, tile_h, span_cap=8, big_capacity=256) -> TileBins:
+    """Build chunk-aligned per-tile triangle lists. All shapes static."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    nt = ntx * nty
+    T = setup.valid.shape[0]
+    mc = num_chunks(nt, T, span_cap)
+
+    aabb = setup.aabb
+    tx0 = jnp.clip(jnp.floor(aabb[:, 0] / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(aabb[:, 1] / tile_h).astype(jnp.int32), 0, nty - 1)
+    tx1 = jnp.clip(jnp.floor(aabb[:, 2] / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty1 = jnp.clip(jnp.floor(aabb[:, 3] / tile_h).astype(jnp.int32), 0, nty - 1)
+    on_screen = (aabb[:, 2] >= 0) & (aabb[:, 0] < width) & \
+                (aabb[:, 3] >= 0) & (aabb[:, 1] < height)
+    live = setup.valid & on_screen
+
+    wspan = tx1 - tx0 + 1
+    hspan = ty1 - ty0 + 1
+    span = wspan * hspan
+    small = live & (span <= span_cap)
+    big = live & (span > span_cap)
+
+    # --- expansion: (tile, tri) pairs, stably sorted by tile --------------
+    j = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
+    dx = j % wspan[:, None]
+    dy = j // wspan[:, None]
+    tile = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)
+    slot_ok = small[:, None] & (j < span[:, None])
+    keys = jnp.where(slot_ok, tile, nt).astype(jnp.int32).reshape(-1)
+    payload = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, span_cap)).reshape(-1)
+    keys_sorted, payload_sorted = jax.lax.sort(
+        (keys, payload), num_keys=1, is_stable=True)
+
+    tiles_range = jnp.arange(nt, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys_sorted, tiles_range, side="left")
+    counts = (jnp.searchsorted(keys_sorted, tiles_range, side="right")
+              - starts).astype(jnp.int32)
+    starts = starts.astype(jnp.int32)
+
+    # --- chunk-aligned layout ---------------------------------------------
+    nchunks = jnp.maximum(1, -(-counts // CHUNK))          # [NT]
+    chunk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)])
+
+    # Scatter sorted entries to chunk-aligned positions.
+    e_idx = jnp.arange(keys_sorted.shape[0], dtype=jnp.int32)
+    key_clamped = jnp.minimum(keys_sorted, nt - 1)
+    rank = e_idx - starts[key_clamped]
+    pos = chunk_start[key_clamped] * CHUNK + rank
+    valid_entry = keys_sorted < nt
+    pos = jnp.where(valid_entry, pos, mc * CHUNK)          # dump padding
+
+    n_entries = mc * CHUNK
+    fields16 = fields
+    slot_fields = jnp.zeros((n_entries + 1, 16), jnp.float32)
+    slot_fields = slot_fields.at[pos].set(fields16[payload_sorted],
+                                          mode="drop")
+    slot_tri = jnp.full((n_entries + 1,), -1, jnp.int32)
+    slot_tri = slot_tri.at[pos].set(payload_sorted, mode="drop")
+
+    chunks = _fields_to_chunks(slot_fields[:n_entries])
+
+    # Per-chunk metadata.
+    c_idx = jnp.arange(mc, dtype=jnp.int32)
+    # tile_of_chunk: tile whose [chunk_start, chunk_start+nchunks) contains c.
+    ends = chunk_start + nchunks
+    tile_of_chunk = jnp.searchsorted(ends, c_idx, side="right").astype(jnp.int32)
+    in_use = c_idx < ends[-1]
+    tile_of_chunk = jnp.where(in_use, jnp.minimum(tile_of_chunk, nt - 1),
+                              nt - 1)
+    local = c_idx - chunk_start[tile_of_chunk]
+    t_count = counts[tile_of_chunk]
+    chunk_live = jnp.where(
+        in_use, jnp.clip(t_count - local * CHUNK, 0, CHUNK), 0
+    ).astype(jnp.int32)
+    first_flag = jnp.where(in_use & (local == 0), 1, 0).astype(jnp.int32)
+    last_flag = jnp.where(
+        in_use & (local == nchunks[tile_of_chunk] - 1), 1, 0).astype(jnp.int32)
+
+    # --- big list -----------------------------------------------------------
+    bc = -(-big_capacity // CHUNK)
+    order = jnp.argsort(~big, stable=True)
+    cap = min(big_capacity, T)
+    big_ids = order[:cap].astype(jnp.int32)
+    big_is_live = big[big_ids]
+    big_fields = fields16[big_ids]
+    big_fields = big_fields.at[:, 15].set(
+        jnp.where(big_is_live, big_fields[:, 15], 0.0))
+    pad = bc * CHUNK - cap
+    if pad:
+        big_fields = jnp.concatenate(
+            [big_fields, jnp.zeros((pad, 16), jnp.float32)])
+        big_ids_p = jnp.concatenate(
+            [big_ids, jnp.full((pad,), -1, jnp.int32)])
+    else:
+        big_ids_p = big_ids
+    big_chunks = _fields_to_chunks(big_fields)
+    n_big = jnp.sum(big.astype(jnp.int32))
+    big_live_n = jnp.clip(
+        jnp.minimum(n_big, cap) - jnp.arange(bc, dtype=jnp.int32) * CHUNK,
+        0, CHUNK).astype(jnp.int32)
+
+    # Union AABB per big chunk (tile-level trivial reject in the kernel).
+    live_mask = big_is_live
+    bxmin = jnp.where(live_mask, setup.aabb[big_ids, 0], jnp.inf)
+    bymin = jnp.where(live_mask, setup.aabb[big_ids, 1], jnp.inf)
+    bxmax = jnp.where(live_mask, setup.aabb[big_ids, 2], -jnp.inf)
+    bymax = jnp.where(live_mask, setup.aabb[big_ids, 3], -jnp.inf)
+    if pad:
+        padinf = jnp.full((pad,), jnp.inf)
+        bxmin = jnp.concatenate([bxmin, padinf])
+        bymin = jnp.concatenate([bymin, padinf])
+        bxmax = jnp.concatenate([bxmax, -padinf])
+        bymax = jnp.concatenate([bymax, -padinf])
+    def per_chunk(v, red):
+        return red(v.reshape(bc, CHUNK), axis=1)
+    big_aabb = jnp.stack([
+        jnp.floor(per_chunk(bxmin, jnp.min)),
+        jnp.floor(per_chunk(bymin, jnp.min)),
+        jnp.ceil(per_chunk(bxmax, jnp.max)),
+        jnp.ceil(per_chunk(bymax, jnp.max)),
+    ], axis=1)  # [BC, 4]
+    big_aabb = jnp.where(jnp.isfinite(big_aabb), big_aabb, 0.0)
+    big_aabb = jnp.clip(big_aabb, -2**30, 2**30).astype(jnp.int32).reshape(-1)
+
+    entry_to_tri = jnp.concatenate([slot_tri[:n_entries], big_ids_p])
+
+    return TileBins(
+        tile_of_chunk=tile_of_chunk, chunk_live=chunk_live,
+        first_flag=first_flag, last_flag=last_flag,
+        chunks=chunks, entry_to_tri=entry_to_tri,
+        big_chunks=big_chunks, big_live=big_live_n, big_aabb=big_aabb,
+        num_big_dropped=jnp.maximum(n_big - cap, 0).astype(jnp.int32),
+    )

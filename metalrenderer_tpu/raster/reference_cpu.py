@@ -74,32 +74,47 @@ def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
     world/uvs/normals: per-vertex [V, D] with V = 3*T (triangle soup).
     Gathers the winning triangle's data per sample and applies the 1/w
     weighting (Metal [[stage_in]] interpolation).
+
+    Samples are processed sequentially (lax.map) so peak memory stays at
+    one [H, W] sample's worth of gather temporaries — at 1080p x 4 MSAA the
+    all-samples-at-once formulation overflows HBM.
     """
-    sx, sy = _sample_grid(width, height, sample_positions)
+    attrs = jnp.concatenate([world, uvs, normals], axis=-1)  # [V, 8]
+    attrs_t = attrs.reshape(-1, 3, attrs.shape[-1])          # [T, 3, 8]
+
+    def one_sample(args):
+        win_s, off = args
+        ys = jnp.arange(height, dtype=jnp.float32)
+        xs = jnp.arange(width, dtype=jnp.float32)
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")
+        sx = px + off[0]
+        sy = py + off[1]
+
+        t = jnp.maximum(win_s, 0)
+        edge = setup.edge[t]        # [H,W,3,3]
+        inv_area = setup.inv_area[t]
+        inv_w = setup.inv_w[t]      # [H,W,3]
+
+        e = (edge[..., 0] * sx[..., None] + edge[..., 1] * sy[..., None]
+             + edge[..., 2])        # [H,W,3]
+        lam = jnp.stack([e[..., 1], e[..., 2], e[..., 0]], axis=-1) * \
+            inv_area[..., None]
+        wgt = lam * inv_w
+        denom = jnp.sum(wgt, axis=-1, keepdims=True)
+        wgt = wgt / jnp.where(denom == 0.0, 1.0, denom)
+
+        g = attrs_t[t]                                       # [H,W,3,8]
+        return jnp.sum(g * wgt[..., None], axis=-2)          # [H,W,8]
+
+    offs = jnp.asarray(sample_positions, jnp.float32)        # [S, 2]
+    interp = jax.lax.map(one_sample, (winner, offs))         # [S,H,W,8]
+
     covered = winner >= 0
     t = jnp.maximum(winner, 0)
-
-    edge = setup.edge[t]        # [S,H,W,3,3]
-    inv_area = setup.inv_area[t]
-    inv_w = setup.inv_w[t]      # [S,H,W,3]
-
-    e = (edge[..., 0] * sx[..., None] + edge[..., 1] * sy[..., None]
-         + edge[..., 2])        # [S,H,W,3]
-    lam = jnp.stack([e[..., 1], e[..., 2], e[..., 0]], axis=-1) * \
-        inv_area[..., None]
-    wgt = lam * inv_w           # [S,H,W,3]
-    denom = jnp.sum(wgt, axis=-1, keepdims=True)
-    wgt = wgt / jnp.where(denom == 0.0, 1.0, denom)
-
-    def interp(vertex_vals):
-        vv = vertex_vals.reshape(-1, 3, vertex_vals.shape[-1])  # [T,3,D]
-        g = vv[t]                                               # [S,H,W,3,D]
-        return jnp.sum(g * wgt[..., None], axis=-2)
-
     return GBuffer(
-        world=interp(world),
-        normal=interp(normals),
-        uv=interp(uvs),
+        world=interp[..., 0:3],
+        normal=interp[..., 5:8],
+        uv=interp[..., 3:5],
         depth=depth,
         mat_kind=jnp.where(covered, mat_kind[t], -1),
         mat_color=mat_color[t],

@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The JAX_PLATFORMS env var is ignored when a TPU platform plugin is
+# present in this environment; the config update below is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,78 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4d)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metalrenderer_tpu.config import RenderConfig, ShadowConfig
+from metalrenderer_tpu.engine import audio_app
+from metalrenderer_tpu.parallel.sharding import (make_mesh,
+                                                 render_frame_batch,
+                                                 render_tile_sharded)
+from metalrenderer_tpu.passes.pipeline import render_frame
+from metalrenderer_tpu.scene.camera import OrbitCamera
+from metalrenderer_tpu.scene.lights import Lighting
+
+
+def _scene_bits(w, h):
+    scene = audio_app.build_scene()
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=w / h)
+    return scene, cam, Lighting.default()
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_frame_batch_dp_matches_single_device():
+    w, h = 64, 64
+    scene, cam, lighting = _scene_bits(w, h)
+    cfg = RenderConfig(width=w, height=h, msaa=1, shadow_map_size=64)
+    mesh = make_mesh(4)
+    disps = jnp.array([0.0, 0.05, 0.1, 0.2], jnp.float32)
+    thetas = jnp.array([2.3, 2.45, 2.6, 2.75], jnp.float32)
+    fbs = render_frame_batch(scene, cam, lighting, disps, thetas, mesh,
+                             cfg, ShadowConfig(),
+                             shadow_target=(0.0, 0.0, -1.0),
+                             backend="reference")
+    assert fbs.shape == (4, h, w, 4)
+    # Spot-check frame 2 against an unsharded render.
+    fb2, _ = render_frame(scene, cam.replace(theta=2.6), lighting, cfg,
+                          ShadowConfig(), 0.1, (0.0, 0.0, -1.0),
+                          backend="reference")
+    np.testing.assert_allclose(np.asarray(fbs[2]), np.asarray(fb2),
+                               atol=1e-4)
+
+
+def test_frame_batch_dp_pallas_backend():
+    w, h = 64, 64
+    scene, cam, lighting = _scene_bits(w, h)
+    cfg = RenderConfig(width=w, height=h, msaa=1, shadow_map_size=64)
+    mesh = make_mesh(8)
+    disps = jnp.linspace(0.0, 0.2, 8)
+    thetas = jnp.linspace(2.3, 2.7, 8)
+    fbs = render_frame_batch(scene, cam, lighting, disps, thetas, mesh,
+                             cfg, ShadowConfig(),
+                             shadow_target=(0.0, 0.0, -1.0),
+                             backend="pallas")
+    assert fbs.shape == (8, h, w, 4)
+    assert np.isfinite(np.asarray(fbs)).all()
+
+
+def test_tile_sharded_single_frame_matches_unsharded():
+    w, h = 128, 64
+    scene, cam, lighting = _scene_bits(w, h)
+    cfg = RenderConfig(width=w, height=h, msaa=1, shadow_map_size=64)
+    mesh = make_mesh(4)
+    fb = render_tile_sharded(scene, cam, lighting, mesh, cfg,
+                             ShadowConfig(), displacement=0.0,
+                             shadow_target=(0.0, 0.0, -1.0),
+                             backend="reference")
+    fb_ref, _ = render_frame(scene, cam, lighting, cfg, ShadowConfig(),
+                             0.0, (0.0, 0.0, -1.0), backend="reference")
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_ref), atol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,86 @@
+"""Pallas rasterizer vs golden brute force (SURVEY.md §4b).
+
+Runs in interpret mode on CPU; the identical kernel runs compiled on TPU
+(the bench path). Winners must match EXACTLY (same fill rule, same
+LessEqual tie-break); depth agrees to f32 noise.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from metalrenderer_tpu.config import RenderConfig
+from metalrenderer_tpu.engine import audio_app
+from metalrenderer_tpu.raster import raster_pallas, reference_cpu
+from metalrenderer_tpu.raster.geometry import setup_triangles
+from metalrenderer_tpu.scene.camera import OrbitCamera
+
+CENTER = ((0.5, 0.5),)
+
+
+def _random_soup(n, seed=1):
+    rng = np.random.default_rng(seed)
+    tris = []
+    for _ in range(n):
+        c = rng.uniform(-0.9, 0.9, 2)
+        sc = rng.uniform(0.05, 0.9)
+        pts = c + sc * np.array([[0, 0], [1, 0.1], [0.3, 1]]) * \
+            rng.uniform(0.5, 1.5, (3, 2))
+        d1, d2 = pts[1] - pts[0], pts[2] - pts[0]
+        if d1[0] * d2[1] - d1[1] * d2[0] < 0:
+            pts = pts[::-1]
+        z = rng.uniform(0.05, 0.95)
+        w = rng.uniform(0.5, 3)
+        tris.append([[p[0] * w, p[1] * w, z * w, w] for p in pts])
+    return jnp.asarray(np.asarray(tris, np.float32))
+
+
+def test_random_soup_matches_brute_force_exactly():
+    s = setup_triangles(_random_soup(40), 256, 128)
+    d0, w0 = reference_cpu.rasterize_brute_force(s, 256, 128, CENTER)
+    d1, w1, _ = raster_pallas.rasterize_tiles(s, 256, 128, 8, 128, CENTER)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+
+
+def test_msaa4_matches_brute_force():
+    samples = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
+    s = setup_triangles(_random_soup(20, seed=7), 128, 64)
+    d0, w0 = reference_cpu.rasterize_brute_force(s, 128, 64, samples)
+    d1, w1, _ = raster_pallas.rasterize_tiles(s, 128, 64, 8, 128, samples)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+
+
+def test_big_triangle_path():
+    """A screen-filling triangle (span > cap) takes the big-list path and
+    must still match the brute force."""
+    big = np.array([[[-3, -3, 0.5, 1], [3, -3, 0.5, 1], [0, 3, 0.5, 1]]],
+                   np.float32)
+    small = np.asarray(_random_soup(10, seed=3))
+    clip = jnp.asarray(np.concatenate([big, small]))
+    s = setup_triangles(clip, 256, 192)
+    d0, w0 = reference_cpu.rasterize_brute_force(s, 256, 192, CENTER)
+    d1, w1, st = raster_pallas.rasterize_tiles(s, 256, 192, 8, 128, CENTER)
+    assert int(st["big_dropped"]) == 0
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_non_tile_aligned_resolution():
+    s = setup_triangles(_random_soup(15, seed=9), 200, 77)
+    d0, w0 = reference_cpu.rasterize_brute_force(s, 200, 77, CENTER)
+    d1, w1, _ = raster_pallas.rasterize_tiles(s, 200, 77, 8, 128, CENTER)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_audio_app_pallas_backend_bit_exact():
+    """Full two-pass pipeline: pallas backend == reference backend."""
+    cfg = RenderConfig(width=160, height=120, msaa=4, shadow_map_size=128)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=160 / 120)
+    fb_ref, _ = audio_app.render_audio_app(config=cfg, camera=cam,
+                                           backend="reference")
+    fb_pal, _ = audio_app.render_audio_app(config=cfg, camera=cam,
+                                           backend="pallas")
+    a, b = np.asarray(fb_ref), np.asarray(fb_pal)
+    mse = np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 60.0, psnr

@@ -14,7 +14,20 @@ import jax.numpy as jnp
 from ..scene.mesh import Mesh
 
 
-def load_obj(path) -> Mesh:
+def load_obj(path, use_native=True) -> Mesh:
+    """Load an OBJ. Prefers the C++ parser (io/native.py) — the asset
+    layer's native fast path — falling back to pure Python."""
+    if use_native:
+        from .native import parse_obj_native
+        parsed = parse_obj_native(path)
+        if parsed is not None:
+            pos, uv, nrm = parsed
+            return Mesh(positions=jnp.asarray(pos), uvs=jnp.asarray(uv),
+                        normals=jnp.asarray(nrm))
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path) -> Mesh:
     positions, uvs, normals = [], [], []
     f_pos, f_uv, f_nrm = [], [], []
 

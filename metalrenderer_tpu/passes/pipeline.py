@@ -35,6 +35,7 @@ class PassGeometry:
     mat_kind: jnp.ndarray   # i32[T_clipped]
     mat_color: jnp.ndarray  # f32[T_clipped, 3]
     tex_id: jnp.ndarray     # i32[T_clipped]
+    normal_map_id: jnp.ndarray  # i32[T_clipped]
 
 
 def prepare_main_pass(geom, view, proj, config: RenderConfig):
@@ -55,6 +56,7 @@ def prepare_main_pass(geom, view, proj, config: RenderConfig):
         mat_kind=geom.mat_kind[parent],
         mat_color=geom.mat_color[parent],
         tex_id=geom.tex_id[parent],
+        normal_map_id=geom.normal_map_id[parent],
     )
     return setup, pg
 
@@ -76,6 +78,7 @@ def _raster_gbuffer_reference(setup, pg: PassGeometry, config: RenderConfig):
         setup, winner, config.width, config.height, config.sample_positions,
         pg.world, pg.uvs, pg.normals,
         pg.mat_kind, pg.mat_color, pg.tex_id, depth,
+        normal_map_id=pg.normal_map_id,
     )
 
 
@@ -151,6 +154,8 @@ def render_frame(scene: Scene, camera, lighting,
         textures=scene.textures,
         shadow_bias=config.shadow_bias,
         shadow_factor_value=config.shadow_factor,
+        tiled_sampler=(backend == "pallas"),
+        normal_map_ids=gbuf.normal_map_id,
     )
     framebuffer = jnp.mean(samples, axis=0)  # MSAA box resolve
     stats["covered_fraction"] = jnp.mean(gbuf.covered.astype(jnp.float32))

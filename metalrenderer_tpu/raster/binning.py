@@ -33,10 +33,30 @@ from .geometry import TriangleSetup, scalar_planes
 CHUNK = 64          # triangles per chunk (matmul lane group)
 GROUPS = 8          # e0, e1, e2, z, tl0, tl1, tl2, valid
 COLS = CHUNK * GROUPS  # 512
+VIS_FIELDS = 16
+
+# Attribute-plane groups (each an affine plane of value/w in screen space;
+# constants like mat_kind become value * (1/w)-plane and divide back out):
+#   0-2 world xyz, 3-4 uv, 5-7 normal, 8 inv_w, 9 mat_kind, 10 tex_id,
+#   11-13 color rgb, 14 normal_map_id. Padded to 16 groups -> 1024 lanes.
+ATTR_GROUPS = 15
+ATTR_GROUPS_PADDED = 16
+ATTR_COLS = CHUNK * ATTR_GROUPS_PADDED  # 1024
+ATTR_FIELDS = ATTR_GROUPS * 3           # 45
+# gout row indices for the kernel/consumers:
+ROW_WORLD = 0
+ROW_UV = 3
+ROW_NORMAL = 5
+ROW_INVW = 8
+ROW_MATKIND = 9
+ROW_TEXID = 10
+ROW_COLOR = 11
+ROW_NMID = 14
+ROW_DEPTH = 15  # depth stored in the spare padded row
 
 
 def build_tri_fields(setup: TriangleSetup) -> jnp.ndarray:
-    """Per-triangle raw fields [T, 16]:
+    """Per-triangle visibility fields [T, 16]:
     A0,B0,C0, A1,B1,C1, A2,B2,C2, az,bz,cz, tl0,tl1,tl2, valid."""
     zplanes = scalar_planes(setup, setup.z)          # [T, 3]
     rec = jnp.concatenate(
@@ -51,10 +71,35 @@ def build_tri_fields(setup: TriangleSetup) -> jnp.ndarray:
     return rec
 
 
+def build_attr_fields(setup: TriangleSetup, pg) -> jnp.ndarray:
+    """Per-triangle attribute-plane fields [T, 42] (14 groups x A,B,C).
+
+    Interpolated attributes are screen-space planes of value/w
+    (raster/geometry.py attribute_planes); per-triangle constants ride as
+    value * inv_w-plane so one divide recovers them exactly.
+    """
+    from .geometry import attribute_planes  # local to avoid cycle at import
+
+    vertex_vals = jnp.concatenate(
+        [pg.world, pg.uvs, pg.normals], axis=-1).reshape(-1, 3, 8)
+    ap = attribute_planes(setup, vertex_vals)        # [T, 8, 3]
+    iw = scalar_planes(setup, setup.inv_w)           # [T, 3]
+    consts = jnp.stack([
+        pg.mat_kind.astype(jnp.float32),
+        pg.tex_id.astype(jnp.float32),
+        pg.mat_color[:, 0], pg.mat_color[:, 1], pg.mat_color[:, 2],
+        pg.normal_map_id.astype(jnp.float32),
+    ], axis=1)                                       # [T, 6]
+    const_planes = consts[:, :, None] * iw[:, None, :]  # [T, 5, 3]
+    all_planes = jnp.concatenate(
+        [ap, iw[:, None, :], const_planes], axis=1)  # [T, 15, 3]
+    return all_planes.reshape(-1, ATTR_FIELDS)
+
+
 def _fields_to_chunks(fields_padded):
-    """[N*CHUNK, 16] -> matmul operand [N, 3, COLS]."""
+    """[N*CHUNK, 16] -> visibility matmul operand [N, 3, COLS]."""
     n = fields_padded.shape[0] // CHUNK
-    r = fields_padded.reshape(n, CHUNK, 16)
+    r = fields_padded.reshape(n, CHUNK, VIS_FIELDS)
     zeros4 = jnp.zeros((n, CHUNK, 4), jnp.float32)
     # Rows gather (field indices per group) then [N, CHUNK, G] -> [N, G*CHUNK]
     a = jnp.concatenate([r[:, :, (0, 3, 6, 9)], zeros4], axis=-1)
@@ -63,6 +108,17 @@ def _fields_to_chunks(fields_padded):
     def to_cols(x):  # [N, CHUNK, G] -> [N, G*CHUNK]
         return x.transpose(0, 2, 1).reshape(n, COLS)
     return jnp.stack([to_cols(a), to_cols(b), to_cols(c)], axis=1)
+
+
+def _attr_fields_to_chunks(attr_padded):
+    """[N*CHUNK, 42] -> attribute matmul operand [N, 3, ATTR_COLS]."""
+    n = attr_padded.shape[0] // CHUNK
+    r = attr_padded.reshape(n, CHUNK, ATTR_GROUPS, 3)
+    pad = jnp.zeros((n, CHUNK, ATTR_GROUPS_PADDED - ATTR_GROUPS, 3),
+                    jnp.float32)
+    r = jnp.concatenate([r, pad], axis=2)            # [N, CHUNK, 16, 3]
+    # -> [N, 3, 16*CHUNK] with group-major lanes.
+    return r.transpose(0, 3, 2, 1).reshape(n, 3, ATTR_COLS)
 
 
 @pytree_dataclass
@@ -76,9 +132,11 @@ class TileBins:
     last_flag: jnp.ndarray       # i32[MC] 1 on a tile's last chunk
     # --- blocked operands ---
     chunks: jnp.ndarray          # f32[MC, 3, COLS]
+    attr_chunks: jnp.ndarray     # f32[MC, 3, ATTR_COLS] or None
     entry_to_tri: jnp.ndarray    # i32[MC*CHUNK + BC*CHUNK] -> tri id or -1
     # --- big list ---
     big_chunks: jnp.ndarray      # f32[BC, 3, COLS]
+    big_attr_chunks: jnp.ndarray  # f32[BC, 3, ATTR_COLS] or None
     big_live: jnp.ndarray        # i32[BC] live entries per big chunk
     big_aabb: jnp.ndarray        # i32[BC*4] union xmin,ymin,xmax,ymax
     num_big_dropped: jnp.ndarray  # i32[] overflow beyond capacity
@@ -91,8 +149,12 @@ def num_chunks(num_tiles, num_triangles, span_cap):
 
 
 def bin_triangles(setup: TriangleSetup, fields, width, height,
-                  tile_w, tile_h, span_cap=8, big_capacity=256) -> TileBins:
+                  tile_w, tile_h, span_cap=8, big_capacity=256,
+                  attr_fields=None) -> TileBins:
     """Build chunk-aligned per-tile triangle lists. All shapes static."""
+    if attr_fields is not None:
+        fields = jnp.concatenate([fields, attr_fields], axis=-1)
+    n_fields = fields.shape[-1]
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     nt = ntx * nty
@@ -147,13 +209,16 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
 
     n_entries = mc * CHUNK
     fields16 = fields
-    slot_fields = jnp.zeros((n_entries + 1, 16), jnp.float32)
+    slot_fields = jnp.zeros((n_entries + 1, n_fields), jnp.float32)
     slot_fields = slot_fields.at[pos].set(fields16[payload_sorted],
                                           mode="drop")
     slot_tri = jnp.full((n_entries + 1,), -1, jnp.int32)
     slot_tri = slot_tri.at[pos].set(payload_sorted, mode="drop")
 
-    chunks = _fields_to_chunks(slot_fields[:n_entries])
+    chunks = _fields_to_chunks(slot_fields[:n_entries, :VIS_FIELDS])
+    attr_chunks = (_attr_fields_to_chunks(
+        slot_fields[:n_entries, VIS_FIELDS:])
+        if attr_fields is not None else None)
 
     # Per-chunk metadata.
     c_idx = jnp.arange(mc, dtype=jnp.int32)
@@ -184,12 +249,14 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     pad = bc * CHUNK - cap
     if pad:
         big_fields = jnp.concatenate(
-            [big_fields, jnp.zeros((pad, 16), jnp.float32)])
+            [big_fields, jnp.zeros((pad, n_fields), jnp.float32)])
         big_ids_p = jnp.concatenate(
             [big_ids, jnp.full((pad,), -1, jnp.int32)])
     else:
         big_ids_p = big_ids
-    big_chunks = _fields_to_chunks(big_fields)
+    big_chunks = _fields_to_chunks(big_fields[:, :VIS_FIELDS])
+    big_attr_chunks = (_attr_fields_to_chunks(big_fields[:, VIS_FIELDS:])
+                       if attr_fields is not None else None)
     n_big = jnp.sum(big.astype(jnp.int32))
     big_live_n = jnp.clip(
         jnp.minimum(n_big, cap) - jnp.arange(bc, dtype=jnp.int32) * CHUNK,
@@ -223,7 +290,8 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     return TileBins(
         tile_of_chunk=tile_of_chunk, chunk_live=chunk_live,
         first_flag=first_flag, last_flag=last_flag,
-        chunks=chunks, entry_to_tri=entry_to_tri,
-        big_chunks=big_chunks, big_live=big_live_n, big_aabb=big_aabb,
+        chunks=chunks, attr_chunks=attr_chunks, entry_to_tri=entry_to_tri,
+        big_chunks=big_chunks, big_attr_chunks=big_attr_chunks,
+        big_live=big_live_n, big_aabb=big_aabb,
         num_big_dropped=jnp.maximum(n_big - cap, 0).astype(jnp.int32),
     )

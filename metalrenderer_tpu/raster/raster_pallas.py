@@ -1,6 +1,6 @@
 """Tile-binned Pallas rasterizer — the TPU replacement for Metal's
-fixed-function raster + depth hardware (SURVEY.md §2 "the centerpiece
-Pallas kernel").
+fixed-function raster + depth hardware plus the attribute interpolators
+(SURVEY.md §2 "the centerpiece Pallas kernel").
 
 Design (TPU-first; see binning.py for the data-layout contract):
 
@@ -10,28 +10,26 @@ Design (TPU-first; see binning.py for the data-layout contract):
     resident VMEM block (Pallas block-revisiting). The z-buffer lives in
     the output block itself — no scratch, no manual DMA, automatic
     double-buffered pipelining of the chunk operands.
-  * Each chunk is a [3, 512] operand: rows (A, B, C) of 8 plane groups
-    (e0, e1, e2, z, tl0, tl1, tl2, valid) x 64 triangles. The kernel
-    evaluates ALL planes for ALL 64 triangles at ALL tile pixels with one
-    MXU contraction per MSAA sample:  [3,256]^T x [3,P] -> [256, P].
-    Triangles live in sublanes, pixels in lanes, so the depth reduction is
-    a sublane min -> a [1, P] row with zero layout padding.
+  * Each chunk is a [3, 512] visibility operand (rows A, B, C of plane
+    groups e0, e1, e2, z, tl0, tl1, tl2, valid x 64 triangles) plus a
+    [3, 1024] attribute operand (14 plane groups of value/w — world, uv,
+    normal, 1/w, and per-triangle constants riding on the 1/w plane).
+    The kernel evaluates every plane for all 64 triangles at all tile
+    pixels with MXU contractions ([3, G*64]^T x [3, P]); triangles live
+    in sublanes, pixels in lanes, so depth resolve and the winner-one-hot
+    attribute reduction are sublane ops producing [1, P] rows.
+    Interpolated G-buffer attributes come straight out of the kernel —
+    ZERO XLA gathers anywhere in the frame (432 ms -> sub-ms at 1080p).
   * Watertightness under the MXU's 3-pass bf16 f32 emulation: shared-edge
-    coefficients are exact negations of each other, multiplication and
-    addition are sign-symmetric under IEEE rounding, so e_left == -e_right
-    exactly and every sample lands in exactly one of the two triangles
-    (ties on e == 0 resolved by the top-left rule).
+    coefficients are exact negations, multiply/add are sign-symmetric
+    under IEEE rounding, so e_left == -e_right exactly and every sample
+    lands in exactly one of two adjacent triangles.
   * Depth semantics: LessEqual + submission-order tie-break, matching the
     reference's depth state (mtl_engine.mm:436-439). Within a chunk the
     max sublane index among z == zmin wins; across chunks `zmin <= zbuf`
-    lets later chunks win ties. Binning's stable sort preserves submission
-    order. Big triangles (span > cap) run after a tile's binned list —
-    same-z ties between a big and a small triangle are the one documented
-    deviation.
-
-The kernel produces per-sample (depth, winner-entry); perspective-correct
-attribute interpolation and shading run as fused XLA on top (shared with
-the golden path).
+    lets later chunks win ties. Big triangles (span > cap) run after a
+    tile's binned list — same-z ties between a big and a small triangle
+    are the one documented deviation.
 """
 from __future__ import annotations
 
@@ -43,9 +41,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from . import reference_cpu
-from .binning import CHUNK, COLS, bin_triangles, build_tri_fields, num_chunks
+from .binning import (ATTR_COLS, ATTR_GROUPS, CHUNK, COLS, ROW_DEPTH,
+                      ROW_COLOR, ROW_INVW, ROW_MATKIND, ROW_NMID,
+                      ROW_NORMAL, ROW_TEXID, ROW_UV, ROW_WORLD,
+                      bin_triangles, build_attr_fields, build_tri_fields,
+                      num_chunks)
 from .geometry import TriangleSetup
+from .shade import GBuffer
+
+GOUT_ROWS = 16  # 15 attr rows + depth in ROW_DEPTH
 
 
 def _cdiv(a, b):
@@ -53,24 +57,28 @@ def _cdiv(a, b):
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 n_small_entries, n_big_chunks):
+                 n_small_entries, n_big_chunks, with_attrs):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
 
-    def process_chunk(mm, base_entry, tile, depth_out, win_out):
-        """mm: [3, COLS] plane operand; base_entry: scalar entry base."""
+    def process_chunk(mm, amm, base_entry, tile, outs):
+        """mm: [3, COLS]; amm: [3, ATTR_COLS] or None."""
+        if with_attrs:
+            depth_out, win_out, gout = outs
+        else:
+            depth_out, win_out = outs
         tx = tile % ntx
         ty = tile // ntx
         ox = (tx * tile_w).astype(jnp.float32)
         oy = (ty * tile_h).astype(jnp.float32)
 
-        # Tile-relative C row (exact f32 FMAs; keeps edge magnitudes small
+        # Tile-relative C rows (exact f32 FMAs keep edge magnitudes small
         # so the bf16x3 matmul stays sub-1/256-pixel accurate).
         a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
         c_adj = c_row + a_row * ox + b_row * oy          # [1, COLS]
 
         # Flags as [CHUNK,1] columns: "planes" with A=B=0 evaluate to C.
-        fc = c_adj[0, 4 * CHUNK:]                        # [4*CHUNK]
+        fc = c_adj[0, 4 * CHUNK:]
         fcc = fc.reshape(4 * CHUNK, 1)
         tl0 = fcc[0:CHUNK]
         tl1 = fcc[CHUNK:2 * CHUNK]
@@ -80,6 +88,13 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         m3 = jnp.concatenate(
             [a_row[:, :4 * CHUNK], b_row[:, :4 * CHUNK],
              c_adj[:, :4 * CHUNK]], axis=0)              # [3, 256]
+
+        if with_attrs:
+            am3 = jnp.concatenate(
+                [amm[0:1, :],
+                 amm[1:2, :],
+                 amm[2:3, :] + amm[0:1, :] * ox + amm[1:2, :] * oy],
+                axis=0)                                   # [3, ATTR_COLS]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
         px = (lane % tile_w).astype(jnp.float32)
@@ -113,9 +128,30 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             depth_out[s, 0] = jnp.where(take, zmin, zb)
             win_out[s, 0] = jnp.where(take, base_entry + wl, win_out[s, 0])
 
+            if with_attrs:
+                onehot = jnp.where((cand == wl) & (wl >= 0), 1.0, 0.0)
+                ea = jax.lax.dot_general(
+                    am3, pm, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [ATTR_COLS, P]
+                for g in range(ATTR_GROUPS):
+                    val = jnp.sum(
+                        ea[g * CHUNK:(g + 1) * CHUNK] * onehot,
+                        axis=0, keepdims=True)            # [1, P]
+                    gout[s, 0, g:g + 1] = jnp.where(
+                        take, val, gout[s, 0, g:g + 1])
+                gout[s, 0, ROW_DEPTH:ROW_DEPTH + 1] = depth_out[s, 0]
+
     def kernel(tile_map, chunk_live, first_flag, last_flag,
-               big_live, big_aabb,
-               mm_ref, big_ref, depth_out, win_out):
+               big_live, big_aabb, *refs):
+        if with_attrs:
+            (mm_ref, amm_ref, big_ref, bigattr_ref,
+             depth_out, win_out, gout) = refs
+            outs = (depth_out, win_out, gout)
+        else:
+            mm_ref, big_ref, depth_out, win_out = refs
+            outs = (depth_out, win_out)
+
         c = pl.program_id(0)
         tile = tile_map[c]
 
@@ -124,10 +160,15 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             for s in range(n_samples):
                 depth_out[s, 0] = jnp.full((1, P), clear_depth, jnp.float32)
                 win_out[s, 0] = jnp.full((1, P), -1, jnp.int32)
+                if with_attrs:
+                    gout[s, 0] = jnp.zeros((GOUT_ROWS, P), jnp.float32)
+                    gout[s, 0, ROW_DEPTH:ROW_DEPTH + 1] = jnp.full(
+                        (1, P), clear_depth, jnp.float32)
 
         @pl.when(chunk_live[c] > 0)
         def _():
-            process_chunk(mm_ref[0], c * CHUNK, tile, depth_out, win_out)
+            process_chunk(mm_ref[0], amm_ref[0] if with_attrs else None,
+                          c * CHUNK, tile, outs)
 
         @pl.when(last_flag[c] == 1)
         def _():
@@ -145,9 +186,10 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
                 @pl.when((big_live[bc] > 0) & over)
                 def _():
-                    process_chunk(big_ref[bc],
-                                  n_small_entries + bc * CHUNK, tile,
-                                  depth_out, win_out)
+                    process_chunk(
+                        big_ref[bc],
+                        bigattr_ref[bc] if with_attrs else None,
+                        n_small_entries + bc * CHUNK, tile, outs)
 
     return kernel
 
@@ -156,22 +198,37 @@ def _should_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _tile_view(x, n_samples, nty, ntx, tile_h, tile_w, height, width):
+    """[S, NT, 1|R, P] -> [S(, R), H, W]."""
+    r = x.shape[2]
+    x = x.reshape(n_samples, nty, ntx, r, tile_h, tile_w)
+    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(
+        n_samples, r, nty * tile_h, ntx * tile_w)
+    x = x[:, :, :height, :width]
+    return x[:, 0] if r == 1 else x
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "sample_offsets",
-                     "span_cap", "big_capacity", "clear_depth"),
+                     "span_cap", "big_capacity", "clear_depth",
+                     "with_attrs"),
 )
 def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                     sample_offsets, span_cap=8, big_capacity=256,
-                    clear_depth=1.0):
-    """Visibility: (depth f32[S,H,W], winner-tri i32[S,H,W], stats).
+                    clear_depth=1.0, with_attrs=False, pass_geom=None):
+    """Visibility (+ optional fused G-buffer attributes).
 
-    winner is the ORIGINAL triangle index (mapped through entry_to_tri);
-    -1 where uncovered.
+    Returns (depth f32[S,H,W], winner-tri i32[S,H,W], gout or None, stats).
+    ``gout``: f32[S, 16, H, W] raw attribute rows (value/w planes +
+    constants*invw; consumer divides by the ROW_INVW row).
     """
     fields = build_tri_fields(setup)
+    attr_fields = (build_attr_fields(setup, pass_geom)
+                   if with_attrs else None)
     bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
-                         span_cap=span_cap, big_capacity=big_capacity)
+                         span_cap=span_cap, big_capacity=big_capacity,
+                         attr_fields=attr_fields)
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     nt = ntx * nty
@@ -183,67 +240,101 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     n_small_entries = mc * CHUNK
 
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
-                          clear_depth, n_small_entries, n_big_chunks)
+                          clear_depth, n_small_entries, n_big_chunks,
+                          with_attrs)
+
+    out_block = lambda r: pl.BlockSpec(
+        (n_samples, 1, r, P), lambda c, tile_map, *refs:
+        (0, tile_map[c], 0, 0))
+
+    in_specs = [pl.BlockSpec((1, 3, COLS), lambda c, *refs: (c, 0, 0))]
+    operands = [bins.chunks]
+    if with_attrs:
+        in_specs.append(
+            pl.BlockSpec((1, 3, ATTR_COLS), lambda c, *refs: (c, 0, 0)))
+        operands.append(bins.attr_chunks)
+    in_specs.append(pl.BlockSpec((n_big_chunks, 3, COLS),
+                                 lambda c, *refs: (0, 0, 0)))
+    operands.append(bins.big_chunks)
+    if with_attrs:
+        in_specs.append(pl.BlockSpec((n_big_chunks, 3, ATTR_COLS),
+                                     lambda c, *refs: (0, 0, 0)))
+        operands.append(bins.big_attr_chunks)
+
+    out_specs = [out_block(1), out_block(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.int32),
+    ]
+    if with_attrs:
+        out_specs.append(out_block(GOUT_ROWS))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_samples, nt, GOUT_ROWS, P), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(mc,),
-        in_specs=[
-            pl.BlockSpec((1, 3, COLS), lambda c, *refs: (c, 0, 0)),
-            # Big list: full-array block, same index every step -> stays
-            # resident in VMEM across the whole grid.
-            pl.BlockSpec((n_big_chunks, 3, COLS),
-                         lambda c, *refs: (0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((n_samples, 1, 1, P),
-                         lambda c, tile_map, *refs: (0, tile_map[c], 0, 0)),
-            pl.BlockSpec((n_samples, 1, 1, P),
-                         lambda c, tile_map, *refs: (0, tile_map[c], 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
 
-    depth, win_entry = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=_should_interpret(),
     )(bins.tile_of_chunk, bins.chunk_live, bins.first_flag, bins.last_flag,
-      bins.big_live, bins.big_aabb, bins.chunks, bins.big_chunks)
+      bins.big_live, bins.big_aabb, *operands)
 
-    # [S, NT, 1, P] -> [S, H, W]
-    hp, wp = nty * tile_h, ntx * tile_w
-    depth = depth.reshape(n_samples, nty, ntx, tile_h, tile_w) \
-        .transpose(0, 1, 3, 2, 4).reshape(n_samples, hp, wp)
-    win_entry = win_entry.reshape(n_samples, nty, ntx, tile_h, tile_w) \
-        .transpose(0, 1, 3, 2, 4).reshape(n_samples, hp, wp)
-    depth = depth[:, :height, :width]
-    win_entry = win_entry[:, :height, :width]
+    view = lambda x: _tile_view(x, n_samples, nty, ntx, tile_h, tile_w,
+                                height, width)
+    depth = view(outs[0])
+    win_entry = view(outs[1])
+    gout = view(outs[2]) if with_attrs else None
 
     winner = jnp.where(win_entry >= 0,
                        bins.entry_to_tri[jnp.maximum(win_entry, 0)], -1)
     stats = {"big_dropped": bins.num_big_dropped}
-    return depth, winner, stats
+    return depth, winner, gout, stats
+
+
+def gbuffer_from_gout(gout, winner, depth) -> GBuffer:
+    """Divide the value/w rows by the interpolated 1/w (perspective
+    correction) and unpack into the shading G-buffer. Pure elementwise."""
+    invw = gout[:, ROW_INVW]
+    covered = winner >= 0
+    safe = jnp.where(invw > 0.0, invw, 1.0)
+    attrs = gout / safe[:, None]
+    return GBuffer(
+        world=jnp.moveaxis(attrs[:, ROW_WORLD:ROW_WORLD + 3], 1, -1),
+        normal=jnp.moveaxis(attrs[:, ROW_NORMAL:ROW_NORMAL + 3], 1, -1),
+        uv=jnp.moveaxis(attrs[:, ROW_UV:ROW_UV + 2], 1, -1),
+        depth=depth,
+        mat_kind=jnp.where(
+            covered,
+            jnp.rint(attrs[:, ROW_MATKIND]).astype(jnp.int32), -1),
+        mat_color=jnp.moveaxis(attrs[:, ROW_COLOR:ROW_COLOR + 3], 1, -1),
+        tex_id=jnp.where(
+            covered, jnp.rint(attrs[:, ROW_TEXID]).astype(jnp.int32), -1),
+        normal_map_id=jnp.where(
+            covered, jnp.rint(attrs[:, ROW_NMID]).astype(jnp.int32), -1),
+        covered=covered,
+    )
 
 
 def raster_gbuffer(setup: TriangleSetup, pg, config: RenderConfig):
-    """Backend entry: Pallas visibility + shared attribute interpolation."""
-    depth, winner, _ = rasterize_tiles(
+    """Backend entry: fused Pallas visibility + attribute interpolation."""
+    depth, winner, gout, _ = rasterize_tiles(
         setup, config.width, config.height, config.tile_h, config.tile_w,
         tuple(config.sample_positions), span_cap=config.span_cap,
-        big_capacity=config.big_capacity, clear_depth=config.clear_depth)
-    return reference_cpu.interpolate_gbuffer(
-        setup, winner, config.width, config.height, config.sample_positions,
-        pg.world, pg.uvs, pg.normals, pg.mat_kind, pg.mat_color, pg.tex_id,
-        depth)
+        big_capacity=config.big_capacity, clear_depth=config.clear_depth,
+        with_attrs=True, pass_geom=pg)
+    return gbuffer_from_gout(gout, winner, depth)
 
 
 def raster_depth(setup: TriangleSetup, size):
     """Depth-only pass for the shadow map (single center sample)."""
-    depth, _, _ = rasterize_tiles(
+    depth, _, _, _ = rasterize_tiles(
         setup, size, size, 8, 128, ((0.5, 0.5),), big_capacity=256,
         clear_depth=1.0)
     return depth[0]

@@ -68,7 +68,8 @@ def rasterize_brute_force(setup: TriangleSetup, width, height,
 
 def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
                         sample_positions, world, uvs, normals,
-                        mat_kind, mat_color, tex_id, depth) -> GBuffer:
+                        mat_kind, mat_color, tex_id, depth,
+                        normal_map_id=None) -> GBuffer:
     """Perspective-correct attribute interpolation for the visible triangle.
 
     world/uvs/normals: per-vertex [V, D] with V = 3*T (triangle soup).
@@ -111,6 +112,8 @@ def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
 
     covered = winner >= 0
     t = jnp.maximum(winner, 0)
+    if normal_map_id is None:
+        normal_map_id = jnp.full_like(mat_kind, -1)
     return GBuffer(
         world=interp[..., 0:3],
         normal=interp[..., 5:8],
@@ -119,6 +122,7 @@ def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
         mat_kind=jnp.where(covered, mat_kind[t], -1),
         mat_color=mat_color[t],
         tex_id=jnp.where(covered, tex_id[t], -1),
+        normal_map_id=jnp.where(covered, normal_map_id[t], -1),
         covered=covered,
     )
 

@@ -1,0 +1,207 @@
+"""Gather-free bilinear texture sampling on TPU (Pallas).
+
+XLA's general gather lowers to a serial expander on TPU (~430 ms for the
+shadow-map lookups of one 1080p frame). This kernel exploits the spatial
+coherence of texture lookups: for each 8x128 framebuffer tile, the set of
+texels it touches is (almost always) a small window. Per tile we DMA a
+WIN_H x WIN_W window (origin from a per-tile coordinate min computed in
+plain XLA) into VMEM and resolve the four bilinear taps with in-register
+gathers:
+
+  * lane gather  (jnp.take_along_axis axis=1, within 128 lanes) picks the
+    x texel of every pixel for ALL window rows at once -> XG[r, p];
+  * sublane gather (axis=0, within 8-row groups) + a 17-way select picks
+    each pixel's y row out of XG.
+
+Mosaic supports exactly these two gather forms (verified by probe); no
+other gathers exist in the frame.
+
+Out-of-window coordinates clamp to the window border — correct whenever a
+tile's texture footprint fits 254x126 texels, a mip-style fallback for the
+rare extreme-anisotropy tiles (horizon pixels).
+
+Used for the shadow-map test (BlinnPhong.metal:91) and color texture
+sampling (Texture.cpp path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+WIN_H = 136   # 17 sublane groups; 8-aligned origin
+WIN_W = 256   # two lane tiles; 128-aligned origin
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(wy_ref, wx_ref, tex_hbm, x_ref, y_ref, out_ref, win, sem):
+    i = pl.program_id(0)
+    # Origins are snapped in _sample_padded; tell Mosaic so the dynamic
+    # DMA slice provably stays tile-aligned.
+    wy = pl.multiple_of(wy_ref[i], 8)
+    wx = pl.multiple_of(wx_ref[i], 128)
+
+    cp = pltpu.make_async_copy(
+        tex_hbm.at[pl.ds(wy, WIN_H), pl.ds(wx, WIN_W)], win, sem)
+    cp.start()
+    cp.wait()
+
+    x = x_ref[...] - wx.astype(jnp.float32)
+    y = y_ref[...] - wy.astype(jnp.float32)
+    x = jnp.clip(x, 0.0, WIN_W - 1.001)
+    y = jnp.clip(y, 0.0, WIN_H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def build_xg(xi_row):
+        """XG[r, j] = win[r, xi_row[0, j]] for one pixel row: lane gather
+        of every window row at each pixel's x. xi_row: i32[1, 128]."""
+        idx = jnp.broadcast_to(xi_row, (WIN_H, TILE_W))
+        left = jnp.take_along_axis(win[:, 0:128], idx % 128, axis=1)
+        right = jnp.take_along_axis(win[:, 128:], idx % 128, axis=1)
+        return jnp.where(idx < 128, left, right)         # [WIN_H, 128]
+
+    def compose_y(xg, yi_row):
+        """out[0, j] = xg[yi_row[0, j], j]: sublane gather within 8-row
+        groups + group select. yi_row: i32[1, 128]."""
+        # Mosaic's gather lowering needs indices with the operand's exact
+        # shape (no implicit broadcast): expand to [8, TILE_W], read row 0.
+        ylo = jnp.broadcast_to(yi_row % 8, (8, TILE_W))
+        yhi = yi_row // 8
+        out = jnp.zeros((1, TILE_W), jnp.float32)
+        for g in range(WIN_H // 8):
+            part = jnp.take_along_axis(xg[8 * g:8 * g + 8], ylo, axis=0)
+            out = jnp.where(yhi == g, part[0:1], out)
+        return out
+
+    for r in range(TILE_H):
+        x0r = x0i[r:r + 1, :]
+        y0r = y0i[r:r + 1, :]
+        xg0 = build_xg(x0r)
+        xg1 = build_xg(x0r + 1)
+        t00 = compose_y(xg0, y0r)
+        t01 = compose_y(xg0, y0r + 1)
+        t10 = compose_y(xg1, y0r)
+        t11 = compose_y(xg1, y0r + 1)
+        fxr = fx[r:r + 1, :]
+        fyr = fy[r:r + 1, :]
+        top = t00 * (1.0 - fxr) + t10 * fxr
+        bot = t01 * (1.0 - fxr) + t11 * fxr
+        out_ref[r:r + 1, :] = top * (1.0 - fyr) + bot * fyr
+
+
+def _should_interpret():
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tex_h", "tex_w"))
+def _sample_padded(tex, x, y, tex_h, tex_w):
+    h, w = x.shape
+    nty, ntx = h // TILE_H, w // TILE_W
+    nt = nty * ntx
+
+    # Per-tile window origins from the coordinate minima (plain XLA).
+    xt = x.reshape(nty, TILE_H, ntx, TILE_W)
+    yt = y.reshape(nty, TILE_H, ntx, TILE_W)
+    xmin = jnp.min(xt, axis=(1, 3)).reshape(-1)
+    ymin = jnp.min(yt, axis=(1, 3)).reshape(-1)
+    wx = jnp.clip((jnp.floor(xmin).astype(jnp.int32) // 128) * 128,
+                  0, tex_w - WIN_W)
+    wy = jnp.clip((jnp.floor(ymin).astype(jnp.int32) // 8) * 8,
+                  0, tex_h - WIN_H)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # texture stays in HBM
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, *_: (i // ntx, i % ntx)),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, *_: (i // ntx, i % ntx)),
+        ],
+        out_specs=pl.BlockSpec((TILE_H, TILE_W),
+                               lambda i, *_: (i // ntx, i % ntx)),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        interpret=_should_interpret(),
+    )(wy, wx, tex, x, y)
+
+    # Out-of-window mask (plain XLA): pixels whose footprint fell outside
+    # their tile's window were border-clamped inside the kernel; the
+    # caller may substitute a fallback value for them.
+    wxg = jnp.broadcast_to(wx.reshape(nty, 1, ntx, 1),
+                           (nty, TILE_H, ntx, TILE_W)).reshape(h, w)
+    wyg = jnp.broadcast_to(wy.reshape(nty, 1, ntx, 1),
+                           (nty, TILE_H, ntx, TILE_W)).reshape(h, w)
+    oob = ((x - wxg) < 0.0) | ((x - wxg) > WIN_W - 2.0) | \
+          ((y - wyg) < 0.0) | ((y - wyg) > WIN_H - 2.0)
+    return out, oob
+
+
+def sample_bilinear_tiled(tex, u, v, address_mode="repeat",
+                          oob_value=None):
+    """Bilinear sample of a single-channel texture at [H, W] uv grids.
+
+    tex: f32[TH, TW]; u, v in [0,1] texture space (v down). Matches
+    raster/sampling.py::sample_bilinear semantics (half-texel centers,
+    repeat or clamp addressing) but runs gather-free on TPU.
+
+    ``oob_value``: substituted where a pixel's lookup fell outside its
+    tile's texture window (extreme-anisotropy tiles). None keeps the
+    window-border clamp. Shadow maps pass 1.0 (far depth -> lit) so
+    clamped tiles can never manufacture phantom shadows.
+    """
+    th, tw = tex.shape
+    # The window machinery needs a minimum texture extent; tile small
+    # textures up (repeat) or pad-edge (clamp) on the host side of jit.
+    rep_y = _cdiv(WIN_H + 8, th) if th < WIN_H + 8 else 1
+    rep_x = _cdiv(WIN_W + 128, tw) if tw < WIN_W + 128 else 1
+    if rep_y > 1 or rep_x > 1:
+        if address_mode == "repeat":
+            tex = jnp.tile(tex, (rep_y, rep_x))
+        else:
+            tex = jnp.pad(tex, ((0, th * (rep_y - 1)), (0, tw * (rep_x - 1))),
+                          mode="edge")
+    th_p, tw_p = tex.shape
+
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    if address_mode == "repeat":
+        x = jnp.mod(x, tw)
+        y = jnp.mod(y, th)
+    else:
+        x = jnp.clip(x, 0.0, tw - 1.001)
+        y = jnp.clip(y, 0.0, th - 1.001)
+
+    h, w = x.shape
+    hp = _cdiv(h, TILE_H) * TILE_H
+    wp = _cdiv(w, TILE_W) * TILE_W
+    if (hp, wp) != (h, w):
+        # Edge-pad so padding pixels don't poison the per-tile window min.
+        x = jnp.pad(x, ((0, hp - h), (0, wp - w)), mode="edge")
+        y = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
+    out, oob = _sample_padded(tex, x, y, th_p, tw_p)
+    out = out[:h, :w]
+    if oob_value is not None:
+        out = jnp.where(oob[:h, :w], jnp.float32(oob_value), out)
+    return out

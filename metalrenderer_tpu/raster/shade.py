@@ -31,6 +31,25 @@ from ..utils.pytree import pytree_dataclass
 from . import sampling
 
 
+def _sample2d(tex_hw, u, v, address_mode, tiled, oob_value=None):
+    """Single-channel bilinear sample; ``tiled`` selects the gather-free
+    Pallas path (sample_pallas.py) used by the production backend. The
+    tiled path requires 2-D [H, W] coordinate grids; callers with leading
+    sample dims loop them (python loop at trace time)."""
+    if not tiled:
+        return sampling.sample_bilinear(tex_hw[..., None], u, v,
+                                        address_mode)[..., 0]
+    from .sample_pallas import sample_bilinear_tiled
+    if u.ndim == 2:
+        return sample_bilinear_tiled(tex_hw, u, v, address_mode, oob_value)
+    flat_u = u.reshape((-1,) + u.shape[-2:])
+    flat_v = v.reshape((-1,) + v.shape[-2:])
+    outs = [sample_bilinear_tiled(tex_hw, flat_u[i], flat_v[i], address_mode,
+                                  oob_value)
+            for i in range(flat_u.shape[0])]
+    return jnp.stack(outs).reshape(u.shape)
+
+
 @pytree_dataclass
 class GBuffer:
     """Per-sample geometry buffers produced by the rasterizer."""
@@ -42,7 +61,68 @@ class GBuffer:
     mat_kind: jnp.ndarray   # i32[...]
     mat_color: jnp.ndarray  # f32[..., 3]
     tex_id: jnp.ndarray     # i32[...]
+    normal_map_id: jnp.ndarray  # i32[...] (-1 = none)
     covered: jnp.ndarray    # bool[...] any geometry at this sample
+
+
+def apply_normal_maps(gbuf: GBuffer, textures, normal_map_ids,
+                      tiled_sampler=False):
+    """Perturb G-buffer normals with tangent-space normal maps
+    (BASELINE config 4; new capability — the reference has no normal
+    mapping).
+
+    Deferred-style TBN: tangent/bitangent come from screen-space
+    derivatives of world position and uv (finite differences along the
+    framebuffer axes — the TPU equivalent of dFdx/dFdy), so no per-vertex
+    tangents are needed. ``normal_map_ids``: i32[...] per-sample normal
+    map index (-1 = none).
+    """
+    if not textures:
+        return gbuf
+
+    def ddx(a):
+        d = jnp.roll(a, -1, axis=-2 if a.ndim == 3 else a.ndim - 2)
+        # axis: second-to-last spatial axis is W for [..., H, W, C]
+        return d - a
+
+    # world/uv: [..., H, W, C]; derivatives along W (x) and H (y).
+    def diff(a, axis):
+        return jnp.roll(a, -1, axis=axis) - a
+
+    wx = diff(gbuf.world, -2)
+    wy = diff(gbuf.world, -3)
+    ux = diff(gbuf.uv, -2)
+    uy = diff(gbuf.uv, -3)
+
+    det = ux[..., 0:1] * uy[..., 1:2] - ux[..., 1:2] * uy[..., 0:1]
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tangent = (wx * uy[..., 1:2] - wy * ux[..., 1:2]) * inv
+    bitangent = (wy * ux[..., 0:1] - wx * uy[..., 0:1]) * inv
+
+    def safe_norm(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.where(n > 1e-12, n, 1.0)
+
+    t = safe_norm(tangent)
+    b = safe_norm(bitangent)
+    n = safe_norm(gbuf.normal)
+
+    new_normal = gbuf.normal
+    for i, mips in enumerate(textures):
+        if tiled_sampler:
+            chans = [_sample2d(mips[0][..., c], gbuf.uv[..., 0],
+                               gbuf.uv[..., 1], sampling.REPEAT, True)
+                     for c in range(3)]
+            nm = jnp.stack(chans, axis=-1)
+        else:
+            nm = sampling.sample_bilinear(
+                mips[0], gbuf.uv[..., 0], gbuf.uv[..., 1])[..., :3]
+        nm = nm * 2.0 - 1.0              # [0,1] -> [-1,1]
+        perturbed = safe_norm(
+            t * nm[..., 0:1] + b * nm[..., 1:2] + n * nm[..., 2:3])
+        use = (normal_map_ids == i) & gbuf.covered
+        new_normal = jnp.where(use[..., None], perturbed, new_normal)
+    return gbuf.replace(normal=new_normal)
 
 
 @pytree_dataclass
@@ -75,7 +155,8 @@ def blinn_phong(world, normal, mat_color, camera_pos, light_pos, light_color,
     return (ambient + diffuse + specular) * mat_color
 
 
-def shadow_factor(world, shadow_ctx: ShadowContext, bias=0.005, factor=0.5):
+def shadow_factor(world, shadow_ctx: ShadowContext, bias=0.005, factor=0.5,
+                  tiled_sampler=False):
     """BlinnPhong.metal:79-96 shadow test, evaluated from world position.
 
     lightSpacePos is an affine transform of worldPos, so computing it here
@@ -91,14 +172,16 @@ def shadow_factor(world, shadow_ctx: ShadowContext, bias=0.005, factor=0.5):
     v = (1.0 - proj[..., 1]) * 0.5          # self-consistent viewport mapping
     shadow_depth = proj[..., 2] * 0.5 + 0.5  # reference depth remap quirk
     in_bounds = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
-    d = sampling.sample_bilinear(
-        shadow_ctx.depth_map[..., None], u, v, sampling.REPEAT
-    )[..., 0]
+    # oob_value=1.0: pixels outside their tile's sampling window read far
+    # depth -> lit (never phantom-shadowed).
+    d = _sample2d(shadow_ctx.depth_map, u, v, sampling.REPEAT,
+                  tiled_sampler, oob_value=1.0)
     shadowed = (shadow_depth - bias) > d
     return jnp.where(in_bounds & shadowed, factor, 1.0)
 
 
-def resolve_base_color(mat_color, tex_id, uv, textures):
+def resolve_base_color(mat_color, tex_id, uv, textures,
+                       tiled_sampler=False):
     """Material base color, overridden by a texture sample when tex_id >= 0.
 
     ``textures``: static tuple of mip pyramids (tuples of f32[H,W,4]).
@@ -106,7 +189,13 @@ def resolve_base_color(mat_color, tex_id, uv, textures):
     """
     color = mat_color
     for i, mips in enumerate(textures):
-        tex_rgb = sampling.sample_bilinear(mips[0], uv[..., 0], uv[..., 1])[..., :3]
+        if tiled_sampler:
+            chans = [_sample2d(mips[0][..., c], uv[..., 0], uv[..., 1],
+                               sampling.REPEAT, True) for c in range(3)]
+            tex_rgb = jnp.stack(chans, axis=-1)
+        else:
+            tex_rgb = sampling.sample_bilinear(
+                mips[0], uv[..., 0], uv[..., 1])[..., :3]
         color = jnp.where((tex_id == i)[..., None], tex_rgb, color)
     return color
 
@@ -114,13 +203,19 @@ def resolve_base_color(mat_color, tex_id, uv, textures):
 def shade(gbuf: GBuffer, camera_pos, light_pos, light_color,
           ambient_intensity, shininess, clear_color,
           shadow_ctx: ShadowContext = None, textures=(),
-          shadow_bias=0.005, shadow_factor_value=0.5):
+          shadow_bias=0.005, shadow_factor_value=0.5,
+          tiled_sampler=False, normal_map_ids=None):
     """Full fragment stage -> f32[..., 4] RGBA."""
     camera_pos = jnp.asarray(camera_pos, jnp.float32)
     light_pos = jnp.asarray(light_pos, jnp.float32)
     light_color = jnp.asarray(light_color, jnp.float32)
 
-    base = resolve_base_color(gbuf.mat_color, gbuf.tex_id, gbuf.uv, textures)
+    if normal_map_ids is not None:
+        gbuf = apply_normal_maps(gbuf, textures, normal_map_ids,
+                                 tiled_sampler)
+
+    base = resolve_base_color(gbuf.mat_color, gbuf.tex_id, gbuf.uv, textures,
+                              tiled_sampler)
 
     lit = blinn_phong(gbuf.world, gbuf.normal, base, camera_pos, light_pos,
                       light_color, ambient_intensity, shininess)
@@ -129,7 +224,7 @@ def shade(gbuf: GBuffer, camera_pos, light_pos, light_color,
 
     if shadow_ctx is not None:
         sf = shadow_factor(gbuf.world, shadow_ctx, shadow_bias,
-                           shadow_factor_value)
+                           shadow_factor_value, tiled_sampler)
         # fragColor * shadow multiplies all four channels
         # (BlinnPhong.metal:96).
         apply = (gbuf.mat_kind == BLINN_PHONG_SHADOW)

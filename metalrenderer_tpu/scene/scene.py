@@ -59,6 +59,7 @@ class PackedGeometry:
     mat_kind: jnp.ndarray   # i32[T] material kind per triangle
     mat_color: jnp.ndarray  # f32[T, 3]
     tex_id: jnp.ndarray     # i32[T] texture index (-1 = none)
+    normal_map_id: jnp.ndarray  # i32[T] normal-map index (-1 = none)
     cast_shadow: jnp.ndarray  # bool[T]
 
     @property
@@ -80,7 +81,7 @@ def bake(scene: Scene, displacement=0.0) -> PackedGeometry:
     """
     displacement = jnp.asarray(displacement, jnp.float32)
     worlds, uvs, nrms = [], [], []
-    kinds, colors, texids, casts = [], [], [], []
+    kinds, colors, texids, nmids, casts = [], [], [], [], []
     for inst in scene.instances:
         mesh = inst.mesh
         scale = jnp.where(inst.use_displacement, 1.0 + displacement, 1.0)
@@ -96,6 +97,7 @@ def bake(scene: Scene, displacement=0.0) -> PackedGeometry:
         kinds.append(jnp.full((t,), inst.material.kind, jnp.int32))
         colors.append(jnp.broadcast_to(inst.material.color, (t, 3)))
         texids.append(jnp.full((t,), inst.material.texture_id, jnp.int32))
+        nmids.append(jnp.full((t,), inst.material.normal_map_id, jnp.int32))
         casts.append(jnp.full((t,), inst.cast_shadow, jnp.bool_))
     return PackedGeometry(
         world=jnp.concatenate(worlds),
@@ -104,6 +106,7 @@ def bake(scene: Scene, displacement=0.0) -> PackedGeometry:
         mat_kind=jnp.concatenate(kinds),
         mat_color=jnp.concatenate(colors),
         tex_id=jnp.concatenate(texids),
+        normal_map_id=jnp.concatenate(nmids),
         cast_shadow=jnp.concatenate(casts),
     )
 

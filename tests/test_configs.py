@@ -1,0 +1,87 @@
+"""BASELINE benchmark configurations render correctly (small sizes on CPU;
+bench.py runs the full sizes on TPU)."""
+import sys
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "benchmarks"))
+
+import configs  # noqa: E402
+import metalrenderer_tpu as mr  # noqa: E402
+from metalrenderer_tpu.config import RenderConfig  # noqa: E402
+
+
+def _small(cfg, w=128, h=96, msaa=1):
+    return cfg.replace(width=w, height=h, msaa=msaa,
+                       shadow_map_size=min(cfg.shadow_map_size, 128))
+
+
+def _render(scene, camera, lighting, cfg, backend="pallas"):
+    camera = camera.replace(aspect=cfg.width / cfg.height)
+    fb, stats = mr.render(scene, camera, lighting, cfg, backend=backend)
+    fb = np.asarray(fb)
+    assert np.isfinite(fb).all()
+    return fb, stats
+
+
+def test_config1_textured_cube():
+    scene, cam, light, cfg = configs.config1_textured_cube()
+    fb, stats = _render(scene, cam, light, _small(cfg))
+    assert float(stats["covered_fraction"]) > 0.05
+    # Checker pattern visible: distinct bright/dark texel populations.
+    lit = fb[..., :3].max(-1)
+    vals = fb[lit > 0.15][:, 1]
+    assert vals.std() > 0.05
+
+
+def test_config2_multi_mesh():
+    scene, cam, light, cfg = configs.config2_multi_mesh(n_objects=8)
+    fb, stats = _render(scene, cam, light, _small(cfg))
+    assert float(stats["covered_fraction"]) > 0.3
+    # Multiple palette colors present (depth test resolves objects).
+    px = fb[..., :3].reshape(-1, 3)
+    blueish = ((px[:, 2] > px[:, 0] * 1.3) & (px[:, 2] > 0.1)).sum()
+    orangeish = ((px[:, 0] > px[:, 2] * 1.3) & (px[:, 0] > 0.1)).sum()
+    assert blueish > 3 and orangeish > 3, (blueish, orangeish)
+
+
+def test_config3_high_poly_small():
+    scene, cam, light, cfg = configs.config3_high_poly(target_tris=5000)
+    fb, stats = _render(scene, cam, light, _small(cfg))
+    assert int(stats["num_triangles"]) >= 4000
+    assert float(stats["covered_fraction"]) > 0.1
+
+
+def test_config4_normal_mapping_changes_shading():
+    scene, cam, light, cfg = configs.config4_shadow_normal_map()
+    small = _small(cfg)
+    fb_nm, _ = _render(scene, cam, light, small)
+    # Same scene without the normal map.
+    inst0 = scene.instances[0]
+    flat = mr.Scene(
+        instances=(
+            mr.Instance(mesh=inst0.mesh, model_matrix=inst0.model_matrix,
+                        material=mr.Material(color=inst0.material.color,
+                                             kind=inst0.material.kind),
+                        cast_shadow=True),
+            scene.instances[1],
+        ),
+        textures=scene.textures)
+    fb_flat, _ = _render(flat, cam, light, small)
+    diff = np.abs(fb_nm - fb_flat)
+    # The bump pattern must alter cube shading noticeably...
+    assert diff.max() > 0.05, diff.max()
+    # ...but not repaint the whole frame.
+    assert diff.mean() < 0.1
+
+
+def test_config5_animated_tiny():
+    scene, cam, light, cfg = configs.config5_animated_high_poly(
+        target_tris=2000, width=128, height=64)
+    fb0, _ = _render(scene, cam, light, cfg)
+    fb1, s1 = mr.render(scene, cam.replace(aspect=2.0), light, cfg,
+                        displacement=0.4, backend="pallas")
+    assert not np.allclose(fb0, np.asarray(fb1))

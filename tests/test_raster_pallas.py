@@ -37,7 +37,7 @@ def _random_soup(n, seed=1):
 def test_random_soup_matches_brute_force_exactly():
     s = setup_triangles(_random_soup(40), 256, 128)
     d0, w0 = reference_cpu.rasterize_brute_force(s, 256, 128, CENTER)
-    d1, w1, _ = raster_pallas.rasterize_tiles(s, 256, 128, 8, 128, CENTER)
+    d1, w1, _, _ = raster_pallas.rasterize_tiles(s, 256, 128, 8, 128, CENTER)
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
 
@@ -46,7 +46,7 @@ def test_msaa4_matches_brute_force():
     samples = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
     s = setup_triangles(_random_soup(20, seed=7), 128, 64)
     d0, w0 = reference_cpu.rasterize_brute_force(s, 128, 64, samples)
-    d1, w1, _ = raster_pallas.rasterize_tiles(s, 128, 64, 8, 128, samples)
+    d1, w1, _, _ = raster_pallas.rasterize_tiles(s, 128, 64, 8, 128, samples)
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
 
@@ -60,7 +60,7 @@ def test_big_triangle_path():
     clip = jnp.asarray(np.concatenate([big, small]))
     s = setup_triangles(clip, 256, 192)
     d0, w0 = reference_cpu.rasterize_brute_force(s, 256, 192, CENTER)
-    d1, w1, st = raster_pallas.rasterize_tiles(s, 256, 192, 8, 128, CENTER)
+    d1, w1, _, st = raster_pallas.rasterize_tiles(s, 256, 192, 8, 128, CENTER)
     assert int(st["big_dropped"]) == 0
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
 
@@ -68,7 +68,7 @@ def test_big_triangle_path():
 def test_non_tile_aligned_resolution():
     s = setup_triangles(_random_soup(15, seed=9), 200, 77)
     d0, w0 = reference_cpu.rasterize_brute_force(s, 200, 77, CENTER)
-    d1, w1, _ = raster_pallas.rasterize_tiles(s, 200, 77, 8, 128, CENTER)
+    d1, w1, _, _ = raster_pallas.rasterize_tiles(s, 200, 77, 8, 128, CENTER)
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
 
 

@@ -50,6 +50,7 @@ from .geometry import TriangleSetup
 from .shade import GBuffer
 
 GOUT_ROWS = 16  # 15 attr rows + depth in ROW_DEPTH
+TILE8_H = 8     # pixel block layout inside the kernel: [8, tile_w]
 
 
 def _cdiv(a, b):
@@ -60,13 +61,15 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                  n_small_entries, n_big_chunks, with_attrs):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
+    tile8_w = P // TILE8_H  # pixel-block lane width for the attr layout
 
-    def process_chunk(mm, amm, base_entry, tile, outs):
-        """mm: [3, COLS]; amm: [3, ATTR_COLS] or None."""
+    def process_chunk(mm, amm, base_entry, tile, accs):
+        """mm: [3, COLS]; amm: [3, ATTR_COLS] or None. Accumulates into
+        VMEM scratch (persistent across grid steps)."""
         if with_attrs:
-            depth_out, win_out, gout = outs
+            zacc, wacc, gacc = accs
         else:
-            depth_out, win_out = outs
+            zacc, wacc = accs
         tx = tile % ntx
         ty = tile // ntx
         ox = (tx * tile_w).astype(jnp.float32)
@@ -77,9 +80,14 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
         c_adj = c_row + a_row * ox + b_row * oy          # [1, COLS]
 
-        # Flags as [CHUNK,1] columns: "planes" with A=B=0 evaluate to C.
-        fc = c_adj[0, 4 * CHUNK:]
-        fcc = fc.reshape(4 * CHUNK, 1)
+        # Flags as [CHUNK,1] columns. A [1,N]->[N,1] reshape is a slow
+        # lane->sublane relayout in Mosaic; a K=1 mat-vec lands the data
+        # sublane-major for free.
+        unit = jnp.ones((1, 1), jnp.float32)
+        fcc = jax.lax.dot_general(
+            c_adj[:, 4 * CHUNK:], unit,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [4*CHUNK, 1]
         tl0 = fcc[0:CHUNK]
         tl1 = fcc[CHUNK:2 * CHUNK]
         tl2 = fcc[2 * CHUNK:3 * CHUNK]
@@ -90,20 +98,19 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
              c_adj[:, :4 * CHUNK]], axis=0)              # [3, 256]
 
         if with_attrs:
-            am3 = jnp.concatenate(
-                [amm[0:1, :],
-                 amm[1:2, :],
-                 amm[2:3, :] + amm[0:1, :] * ox + amm[1:2, :] * oy],
-                axis=0)                                   # [3, ATTR_COLS]
+            am3 = amm                                     # raw [3, ATTR_COLS]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        px = (lane % tile_w).astype(jnp.float32)
-        py = (lane // tile_w).astype(jnp.float32)
+        # Pixel coordinate rows built natively in [1, P] lane layout —
+        # a [P,1] -> [1,P] reshape is a sublane->lane transpose Mosaic
+        # executes very slowly.
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        px_row = (lane_row % tile_w).astype(jnp.float32)
+        py_row = (lane_row // tile_w).astype(jnp.float32)
         tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
         for s, (sx, sy) in enumerate(sample_offsets):
             pm = jnp.concatenate(
-                [(px + sx).reshape(1, P), (py + sy).reshape(1, P),
+                [px_row + sx, py_row + sy,
                  jnp.ones((1, P), jnp.float32)], axis=0)  # [3, P]
             et = jax.lax.dot_general(
                 m3, pm, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -123,34 +130,82 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             zmin = jnp.min(zm, axis=0, keepdims=True)     # [1, P]
             cand = jnp.where(ok & (zm == zmin), tri_idx, -1)
             wl = jnp.max(cand, axis=0, keepdims=True)     # [1, P] i32
-            zb = depth_out[s, 0]                          # [1, P]
+            zb = zacc[s]                                  # [1, P]
             take = (zmin <= zb) & (wl >= 0)
-            depth_out[s, 0] = jnp.where(take, zmin, zb)
-            win_out[s, 0] = jnp.where(take, base_entry + wl, win_out[s, 0])
+            zacc[s] = jnp.where(take, zmin, zb)
+            wacc[s] = jnp.where(take, base_entry + wl, wacc[s])
 
-            if with_attrs:
-                onehot = jnp.where((cand == wl) & (wl >= 0), 1.0, 0.0)
-                ea = jax.lax.dot_general(
-                    am3, pm, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [ATTR_COLS, P]
+            import os
+            _amode = os.environ.get("MRT_ATTR_MODE", "gather")
+            if with_attrs and _amode != "none":
+                # Gather the WINNER's 45 plane coefficients per pixel
+                # (lane gathers from a 64-wide table), then evaluate each
+                # plane with two FMAs — orders of magnitude cheaper than
+                # evaluating all 64 candidates' planes at all pixels.
+                def to8(row):
+                    """[1, P] lane row -> [8, P/8]: 128-aligned lane
+                    slices stacked along sublanes (Mosaic rejects the
+                    direct reshape as an unsupported shape cast)."""
+                    return jnp.concatenate(
+                        [row[:, r * tile8_w:(r + 1) * tile8_w]
+                         for r in range(TILE8_H)], axis=0)
+
+                wl8 = to8(jnp.maximum(wl, 0))
+                # i1 vreg concatenation asserts in Mosaic; relayout the
+                # mask as f32 and re-threshold.
+                take8 = to8(jnp.where(take, 1.0, 0.0)) > 0.5
+                # Pixel coordinates rebuilt directly in [8, P/8] layout
+                # (reshaping the [P,1] columns would be a relayout).
+                pidx = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE8_H, tile8_w), 0) * tile8_w
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (TILE8_H, tile8_w), 1))
+                sx8 = (pidx % tile_w).astype(jnp.float32) + ox + sx
+                sy8 = (pidx // tile_w).astype(jnp.float32) + oy + sy
+
+                def gather_coef(r, g):
+                    """Winner's coefficient (row r, group g) per pixel.
+
+                    am3 is sliced at 128-lane grain (a pair of 64-wide
+                    groups) so every slice/concat stays vreg-aligned —
+                    Mosaic rejects both broadcast-layout gather operands
+                    and concats of 64-offset slices. The odd group of the
+                    pair is addressed by biasing the winner lane by 64.
+                    """
+                    pair = g // 2
+                    seg = am3[r:r + 1, pair * 128:(pair + 1) * 128]
+                    t8 = jnp.concatenate([seg] * TILE8_H, axis=0)
+                    idx = wl8 if g % 2 == 0 else wl8 + CHUNK
+                    if tile8_w == 128:
+                        return jnp.take_along_axis(t8, idx, axis=1)
+                    parts = []
+                    for k in range(tile8_w // 128):
+                        parts.append(jnp.take_along_axis(
+                            t8, idx[:, k * 128:(k + 1) * 128], axis=1))
+                    return jnp.concatenate(parts, axis=1)
+
                 for g in range(ATTR_GROUPS):
-                    val = jnp.sum(
-                        ea[g * CHUNK:(g + 1) * CHUNK] * onehot,
-                        axis=0, keepdims=True)            # [1, P]
-                    gout[s, 0, g:g + 1] = jnp.where(
-                        take, val, gout[s, 0, g:g + 1])
-                gout[s, 0, ROW_DEPTH:ROW_DEPTH + 1] = depth_out[s, 0]
+                    ag = gather_coef(0, g)
+                    bg = gather_coef(1, g)
+                    cg = gather_coef(2, g)
+                    val = ag * sx8 + bg * sy8 + cg
+                    gacc[s, g] = jnp.where(take8, val, gacc[s, g])
+                gacc[s, ROW_DEPTH] = to8(zacc[s])
 
     def kernel(tile_map, chunk_live, first_flag, last_flag,
                big_live, big_aabb, *refs):
+        # Accumulators live in SCRATCH (persistent across grid steps), so
+        # the output blocks are WRITE-ONLY and flushed once per tile —
+        # reading outputs as accumulators forces a serialized HBM
+        # round-trip on every grid step (~40us x 2k steps = the entire
+        # frame budget, measured).
         if with_attrs:
             (mm_ref, amm_ref, big_ref, bigattr_ref,
-             depth_out, win_out, gout) = refs
-            outs = (depth_out, win_out, gout)
+             depth_out, win_out, gout, zacc, wacc, gacc) = refs
+            accs = (zacc, wacc, gacc)
         else:
-            mm_ref, big_ref, depth_out, win_out = refs
-            outs = (depth_out, win_out)
+            (mm_ref, big_ref, depth_out, win_out, zacc, wacc) = refs
+            accs = (zacc, wacc)
 
         c = pl.program_id(0)
         tile = tile_map[c]
@@ -158,17 +213,18 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         @pl.when(first_flag[c] == 1)
         def _():
             for s in range(n_samples):
-                depth_out[s, 0] = jnp.full((1, P), clear_depth, jnp.float32)
-                win_out[s, 0] = jnp.full((1, P), -1, jnp.int32)
+                zacc[s] = jnp.full((1, P), clear_depth, jnp.float32)
+                wacc[s] = jnp.full((1, P), -1, jnp.int32)
                 if with_attrs:
-                    gout[s, 0] = jnp.zeros((GOUT_ROWS, P), jnp.float32)
-                    gout[s, 0, ROW_DEPTH:ROW_DEPTH + 1] = jnp.full(
-                        (1, P), clear_depth, jnp.float32)
+                    gacc[s] = jnp.zeros((GOUT_ROWS, TILE8_H, P // TILE8_H),
+                                        jnp.float32)
+                    gacc[s, ROW_DEPTH] = jnp.full(
+                        (TILE8_H, P // TILE8_H), clear_depth, jnp.float32)
 
         @pl.when(chunk_live[c] > 0)
         def _():
             process_chunk(mm_ref[0], amm_ref[0] if with_attrs else None,
-                          c * CHUNK, tile, outs)
+                          c * CHUNK, tile, accs)
 
         @pl.when(last_flag[c] == 1)
         def _():
@@ -189,7 +245,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                     process_chunk(
                         big_ref[bc],
                         bigattr_ref[bc] if with_attrs else None,
-                        n_small_entries + bc * CHUNK, tile, outs)
+                        n_small_entries + bc * CHUNK, tile, accs)
+
+            # Flush the finished tile to the (write-only) output blocks.
+            for s in range(n_samples):
+                depth_out[s, 0] = zacc[s]
+                win_out[s, 0] = wacc[s]
+                if with_attrs:
+                    for g in range(GOUT_ROWS):
+                        gout[s, 0, g * TILE8_H:(g + 1) * TILE8_H] = \
+                            gacc[s, g]
 
     return kernel
 
@@ -267,15 +332,26 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.int32),
     ]
     if with_attrs:
-        out_specs.append(out_block(GOUT_ROWS))
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_samples, nt, GOUT_ROWS, P), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (n_samples, 1, GOUT_ROWS * TILE8_H, P // TILE8_H),
+            lambda c, tile_map, *refs: (0, tile_map[c], 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_samples, nt, GOUT_ROWS * TILE8_H, P // TILE8_H), jnp.float32))
+
+    scratch = [
+        pltpu.VMEM((n_samples, 1, P), jnp.float32),
+        pltpu.VMEM((n_samples, 1, P), jnp.int32),
+    ]
+    if with_attrs:
+        scratch.append(pltpu.VMEM(
+            (n_samples, GOUT_ROWS, TILE8_H, P // TILE8_H), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(mc,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch,
     )
 
     outs = pl.pallas_call(
@@ -290,7 +366,17 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                                 height, width)
     depth = view(outs[0])
     win_entry = view(outs[1])
-    gout = view(outs[2]) if with_attrs else None
+    if with_attrs:
+        # [S, NT, 16*8, P/8]: pixel p = y*tile_w + x lives at
+        # (row 8*g + (p // (P/8)), col p % (P/8)). Undo in XLA.
+        g_raw = outs[2].reshape(n_samples, nty, ntx, GOUT_ROWS, P)
+        g_raw = g_raw.reshape(n_samples, nty, ntx, GOUT_ROWS,
+                              tile_h, tile_w)
+        gout = g_raw.transpose(0, 3, 1, 4, 2, 5).reshape(
+            n_samples, GOUT_ROWS, nty * tile_h, ntx * tile_w)
+        gout = gout[:, :, :height, :width]
+    else:
+        gout = None
 
     winner = jnp.where(win_entry >= 0,
                        bins.entry_to_tri[jnp.maximum(win_entry, 0)], -1)

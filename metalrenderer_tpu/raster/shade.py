@@ -180,22 +180,61 @@ def shadow_factor(world, shadow_ctx: ShadowContext, bias=0.005, factor=0.5,
     return jnp.where(in_bounds & shadowed, factor, 1.0)
 
 
+def _texture_lod(uv, tex_w, tex_h):
+    """Per-pixel isotropic LOD from screen-space uv derivatives (the
+    dFdx/dFdy equivalent: finite differences along framebuffer axes)."""
+    du_dx = jnp.roll(uv[..., 0], -1, axis=-1) - uv[..., 0]
+    dv_dx = jnp.roll(uv[..., 1], -1, axis=-1) - uv[..., 1]
+    du_dy = jnp.roll(uv[..., 0], -1, axis=-2) - uv[..., 0]
+    dv_dy = jnp.roll(uv[..., 1], -1, axis=-2) - uv[..., 1]
+    return sampling.mip_level_from_uv_derivatives(
+        du_dx, dv_dx, du_dy, dv_dy, tex_w, tex_h)
+
+
 def resolve_base_color(mat_color, tex_id, uv, textures,
-                       tiled_sampler=False):
+                       tiled_sampler=False, use_mipmaps=True):
     """Material base color, overridden by a texture sample when tex_id >= 0.
 
     ``textures``: static tuple of mip pyramids (tuples of f32[H,W,4]).
     The texture replaces materialColor (Metal-Tutorial textured path).
+
+    Mipmapping (config 3): the gather-free tiled path picks the nearest
+    mip level per pixel (bilinear within the level — mip-nearest); the
+    reference path uses full trilinear. Both derive LOD from screen-space
+    uv derivatives.
     """
     color = mat_color
     for i, mips in enumerate(textures):
+        n_levels = len(mips)
         if tiled_sampler:
-            chans = [_sample2d(mips[0][..., c], uv[..., 0], uv[..., 1],
-                               sampling.REPEAT, True) for c in range(3)]
-            tex_rgb = jnp.stack(chans, axis=-1)
+            if use_mipmaps and n_levels > 1:
+                lod = _texture_lod(uv, mips[0].shape[1], mips[0].shape[0])
+                # Cap the ladder: levels beyond ~6 cover pixels at extreme
+                # minification where mip-nearest error is invisible, and
+                # each extra level costs 3 sampler launches.
+                max_level = min(n_levels, 6) - 1
+                level = jnp.clip(jnp.rint(lod).astype(jnp.int32),
+                                 0, max_level)
+                tex_rgb = None
+                for li, mip in enumerate(mips[:max_level + 1]):
+                    chans = [_sample2d(mip[..., c], uv[..., 0], uv[..., 1],
+                                       sampling.REPEAT, True)
+                             for c in range(3)]
+                    sampled = jnp.stack(chans, axis=-1)
+                    tex_rgb = sampled if tex_rgb is None else jnp.where(
+                        (level == li)[..., None], sampled, tex_rgb)
+            else:
+                chans = [_sample2d(mips[0][..., c], uv[..., 0], uv[..., 1],
+                                   sampling.REPEAT, True) for c in range(3)]
+                tex_rgb = jnp.stack(chans, axis=-1)
         else:
-            tex_rgb = sampling.sample_bilinear(
-                mips[0], uv[..., 0], uv[..., 1])[..., :3]
+            if use_mipmaps and n_levels > 1:
+                lod = _texture_lod(uv, mips[0].shape[1], mips[0].shape[0])
+                tex_rgb = sampling.sample_trilinear(
+                    mips, uv[..., 0], uv[..., 1], lod)[..., :3]
+            else:
+                tex_rgb = sampling.sample_bilinear(
+                    mips[0], uv[..., 0], uv[..., 1])[..., :3]
         color = jnp.where((tex_id == i)[..., None], tex_rgb, color)
     return color
 

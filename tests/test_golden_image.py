@@ -1,0 +1,38 @@
+"""Golden-image regression (SURVEY.md §4b): the flagship scene must stay
+visually stable release-over-release. PSNR >= 40 dB against the stored
+snapshot for BOTH backends (the BASELINE.json correctness bar)."""
+import pathlib
+
+import numpy as np
+
+from metalrenderer_tpu.config import RenderConfig
+from metalrenderer_tpu.engine import audio_app
+from metalrenderer_tpu.io import png
+from metalrenderer_tpu.scene.camera import OrbitCamera
+
+GOLDEN = pathlib.Path(__file__).parent / "goldens" / "audio_app_160x120.png"
+
+
+def _psnr(a, b):
+    mse = np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def _render(backend):
+    cfg = RenderConfig(width=160, height=120, msaa=4, shadow_map_size=256)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=160 / 120)
+    fb, _ = audio_app.render_audio_app(config=cfg, camera=cam,
+                                       backend=backend)
+    return np.asarray(fb)[..., :3]
+
+
+def test_reference_matches_golden():
+    golden = png.read_png(GOLDEN).astype(np.float32) / 255.0
+    fb = _render("reference")
+    assert _psnr(fb, golden) >= 40.0
+
+
+def test_pallas_matches_golden():
+    golden = png.read_png(GOLDEN).astype(np.float32) / 255.0
+    fb = _render("pallas")
+    assert _psnr(fb, golden) >= 40.0

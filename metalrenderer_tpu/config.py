@@ -33,6 +33,11 @@ class RenderConfig:
     # Shadow compare semantics from BlinnPhong.metal:80-96.
     shadow_bias: float = 0.005
     shadow_factor: float = 0.5
+    # Evaluate the shadow test once per PIXEL (first covered sample's
+    # world position) instead of per MSAA sample. Matches Metal's
+    # per-pixel fragment shading and quarters the shadow-map sampling
+    # cost; per-sample evaluation is the supersampled variant.
+    shadow_per_pixel: bool = True
     # Tile shape for the Pallas rasterizer (sublane x lane aligned).
     tile_h: int = 8
     tile_w: int = 128

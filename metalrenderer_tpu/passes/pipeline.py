@@ -156,6 +156,7 @@ def render_frame(scene: Scene, camera, lighting,
         shadow_factor_value=config.shadow_factor,
         tiled_sampler=(backend == "pallas"),
         normal_map_ids=gbuf.normal_map_id,
+        shadow_per_pixel=config.shadow_per_pixel,
     )
     framebuffer = jnp.mean(samples, axis=0)  # MSAA box resolve
     stats["covered_fraction"] = jnp.mean(gbuf.covered.astype(jnp.float32))

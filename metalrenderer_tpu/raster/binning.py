@@ -30,9 +30,11 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass
 from .geometry import TriangleSetup, scalar_planes
 
-CHUNK = 64          # triangles per chunk (matmul lane group)
+CHUNK = 32          # triangles per chunk (matmul lane group). 32 keeps
+                    # every lane slice 128-aligned (4*CHUNK = 128) while
+                    # halving the wasted lanes of sparse tiles vs 64.
 GROUPS = 8          # e0, e1, e2, z, tl0, tl1, tl2, valid
-COLS = CHUNK * GROUPS  # 512
+COLS = CHUNK * GROUPS  # 256
 VIS_FIELDS = 16
 
 # Attribute-plane groups (each an affine plane of value/w in screen space;
@@ -41,7 +43,7 @@ VIS_FIELDS = 16
 #   11-13 color rgb, 14 normal_map_id. Padded to 16 groups -> 1024 lanes.
 ATTR_GROUPS = 15
 ATTR_GROUPS_PADDED = 16
-ATTR_COLS = CHUNK * ATTR_GROUPS_PADDED  # 1024
+ATTR_COLS = CHUNK * ATTR_GROUPS_PADDED  # 512
 ATTR_FIELDS = ATTR_GROUPS * 3           # 45
 # gout row indices for the kernel/consumers:
 ROW_WORLD = 0

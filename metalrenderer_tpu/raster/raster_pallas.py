@@ -99,6 +99,12 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
         if with_attrs:
             am3 = amm                                     # raw [3, ATTR_COLS]
+            # Gather tables are sample-invariant: build the 8-sublane
+            # replicated coefficient rows ONCE per chunk.
+            t8_rows = [
+                jnp.concatenate([am3[r:r + 1, :]] * TILE8_H, axis=0)
+                for r in range(3)
+            ]                                             # 3 x [8, ATTR_COLS]
 
         # Pixel coordinate rows built natively in [1, P] lane layout —
         # a [P,1] -> [1,P] reshape is a sublane->lane transpose Mosaic
@@ -115,7 +121,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             et = jax.lax.dot_general(
                 m3, pm, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [256, P]
+                precision=jax.lax.Precision.HIGHEST)      # [4*CHUNK, P]
             e0 = et[0:CHUNK]
             e1 = et[CHUNK:2 * CHUNK]
             e2 = et[2 * CHUNK:3 * CHUNK]
@@ -166,16 +172,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 def gather_coef(r, g):
                     """Winner's coefficient (row r, group g) per pixel.
 
-                    am3 is sliced at 128-lane grain (a pair of 64-wide
-                    groups) so every slice/concat stays vreg-aligned —
-                    Mosaic rejects both broadcast-layout gather operands
-                    and concats of 64-offset slices. The odd group of the
-                    pair is addressed by biasing the winner lane by 64.
+                    Tables are sliced at 128-lane grain (128/CHUNK groups
+                    per slice) so every slice stays vreg-aligned — Mosaic
+                    rejects unaligned slices and broadcast-layout gather
+                    operands. Groups within a slice are addressed by
+                    biasing the winner lane by multiples of CHUNK.
                     """
-                    pair = g // 2
-                    seg = am3[r:r + 1, pair * 128:(pair + 1) * 128]
-                    t8 = jnp.concatenate([seg] * TILE8_H, axis=0)
-                    idx = wl8 if g % 2 == 0 else wl8 + CHUNK
+                    per128 = 128 // CHUNK
+                    pair = g // per128
+                    t8 = t8_rows[r][:, pair * 128:(pair + 1) * 128]
+                    idx = wl8 + CHUNK * (g % per128)
                     if tile8_w == 128:
                         return jnp.take_along_axis(t8, idx, axis=1)
                     parts = []

@@ -243,7 +243,8 @@ def shade(gbuf: GBuffer, camera_pos, light_pos, light_color,
           ambient_intensity, shininess, clear_color,
           shadow_ctx: ShadowContext = None, textures=(),
           shadow_bias=0.005, shadow_factor_value=0.5,
-          tiled_sampler=False, normal_map_ids=None):
+          tiled_sampler=False, normal_map_ids=None,
+          shadow_per_pixel=True):
     """Full fragment stage -> f32[..., 4] RGBA."""
     camera_pos = jnp.asarray(camera_pos, jnp.float32)
     light_pos = jnp.asarray(light_pos, jnp.float32)
@@ -262,8 +263,23 @@ def shade(gbuf: GBuffer, camera_pos, light_pos, light_color,
     rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
 
     if shadow_ctx is not None:
-        sf = shadow_factor(gbuf.world, shadow_ctx, shadow_bias,
-                           shadow_factor_value, tiled_sampler)
+        if shadow_per_pixel and gbuf.world.ndim == 4:
+            # One shadow evaluation per pixel at the first covered
+            # sample's world position (Metal shades fragments per pixel,
+            # not per sample).
+            world_px = gbuf.world[0]
+            cov_any = gbuf.covered[0]
+            for si in range(1, gbuf.world.shape[0]):
+                use = (~cov_any) & gbuf.covered[si]
+                world_px = jnp.where(use[..., None], gbuf.world[si],
+                                     world_px)
+                cov_any = cov_any | gbuf.covered[si]
+            sf = shadow_factor(world_px, shadow_ctx, shadow_bias,
+                               shadow_factor_value, tiled_sampler)
+            sf = jnp.broadcast_to(sf[None], gbuf.covered.shape)
+        else:
+            sf = shadow_factor(gbuf.world, shadow_ctx, shadow_bias,
+                               shadow_factor_value, tiled_sampler)
         # fragColor * shadow multiplies all four channels
         # (BlinnPhong.metal:96).
         apply = (gbuf.mat_kind == BLINN_PHONG_SHADOW)

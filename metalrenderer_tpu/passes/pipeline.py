@@ -21,7 +21,8 @@ from ..scene.materials import BLINN_PHONG_SHADOW
 from ..scene.scene import Scene, bake, project
 from ..raster import reference_cpu
 from ..raster.geometry import clip_near, setup_triangles
-from ..raster.shade import GBuffer, ShadowContext, shade
+from ..raster.shade import (GBuffer, ShadowContext, channels_from_gbuffer,
+                            shade_channels)
 from ..utils.pytree import pytree_dataclass
 
 
@@ -140,10 +141,21 @@ def render_frame(scene: Scene, camera, lighting,
     setup, pass_geom = prepare_main_pass(geom, view, proj, config)
     stats["culled_triangles"] = jnp.sum(~setup.valid)
 
-    gbuf = raster_gbuffer(setup, pass_geom, config)
+    if backend == "pallas":
+        from ..raster import raster_pallas
+        depth, winner, gout, _ = raster_pallas.rasterize_tiles(
+            setup, config.width, config.height, config.tile_h,
+            config.tile_w, tuple(config.sample_positions),
+            span_cap=config.span_cap, big_capacity=config.big_capacity,
+            clear_depth=config.clear_depth, with_attrs=True,
+            pass_geom=pass_geom)
+        channels = raster_pallas.channels_from_gout(gout, winner)
+    else:
+        gbuf = raster_gbuffer(setup, pass_geom, config)
+        channels = channels_from_gbuffer(gbuf)
 
-    samples = shade(
-        gbuf,
+    samples = shade_channels(
+        channels,
         camera_pos=camera.position,
         light_pos=light.position,
         light_color=light.color,
@@ -155,11 +167,11 @@ def render_frame(scene: Scene, camera, lighting,
         shadow_bias=config.shadow_bias,
         shadow_factor_value=config.shadow_factor,
         tiled_sampler=(backend == "pallas"),
-        normal_map_ids=gbuf.normal_map_id,
         shadow_per_pixel=config.shadow_per_pixel,
     )
     framebuffer = jnp.mean(samples, axis=0)  # MSAA box resolve
-    stats["covered_fraction"] = jnp.mean(gbuf.covered.astype(jnp.float32))
+    stats["covered_fraction"] = jnp.mean(
+        channels["covered"].astype(jnp.float32))
     return framebuffer, stats
 
 

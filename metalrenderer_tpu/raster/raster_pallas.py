@@ -4,22 +4,26 @@ fixed-function raster + depth hardware plus the attribute interpolators
 
 Design (TPU-first; see binning.py for the data-layout contract):
 
-  * Grid = one program per 64-triangle CHUNK. A scalar-prefetch array maps
-    each chunk to its framebuffer tile; the output BlockSpec index_map
-    reads it, so consecutive chunks of one tile ACCUMULATE into the same
-    resident VMEM block (Pallas block-revisiting). The z-buffer lives in
-    the output block itself — no scratch, no manual DMA, automatic
-    double-buffered pipelining of the chunk operands.
-  * Each chunk is a [3, 512] visibility operand (rows A, B, C of plane
-    groups e0, e1, e2, z, tl0, tl1, tl2, valid x 64 triangles) plus a
-    [3, 1024] attribute operand (14 plane groups of value/w — world, uv,
-    normal, 1/w, and per-triangle constants riding on the 1/w plane).
-    The kernel evaluates every plane for all 64 triangles at all tile
-    pixels with MXU contractions ([3, G*64]^T x [3, P]); triangles live
-    in sublanes, pixels in lanes, so depth resolve and the winner-one-hot
-    attribute reduction are sublane ops producing [1, P] rows.
-    Interpolated G-buffer attributes come straight out of the kernel —
-    ZERO XLA gathers anywhere in the frame (432 ms -> sub-ms at 1080p).
+  * Grid = one program per triangle CHUNK. A scalar-prefetch array maps
+    each chunk to its framebuffer tile; consecutive chunks of one tile
+    accumulate in persistent VMEM scratch, and the (write-only) output
+    blocks are flushed once per tile — reading outputs as accumulators
+    would force a serialized HBM round-trip per grid step.
+  * MSAA samples are folded into LANES: every per-pixel quantity lives in
+    [1, S*P] rows (sample-major), so one MXU contraction and one set of
+    VPU ops cover all samples of all pixels — there is no per-sample
+    loop anywhere in the kernel.
+  * Each chunk is a [3, 8*CHUNK] visibility operand (rows A, B, C of
+    plane groups e0, e1, e2, z, tl0, tl1, tl2, valid) plus a
+    [3, 16*CHUNK] attribute operand (value/w planes — world, uv, normal,
+    1/w, and per-triangle constants riding the 1/w plane). Triangles live
+    in sublanes of the evaluated planes, pixels in lanes; depth resolve
+    is a sublane min.
+  * Attribute interpolation gathers only the WINNER's 45 plane
+    coefficients per pixel (in-register lane gathers from CHUNK-wide
+    tables) and evaluates each plane with two FMAs. Zero XLA gathers
+    exist anywhere in the frame (the XLA gather expander costs ~430 ms
+    per 1080p frame, measured).
   * Watertightness under the MXU's 3-pass bf16 f32 emulation: shared-edge
     coefficients are exact negations, multiply/add are sign-symmetric
     under IEEE rounding, so e_left == -e_right exactly and every sample
@@ -30,6 +34,11 @@ Design (TPU-first; see binning.py for the data-layout contract):
     lets later chunks win ties. Big triangles (span > cap) run after a
     tile's binned list — same-z ties between a big and a small triangle
     are the one documented deviation.
+
+Mosaic constraints encoded here (each cost a probe to find): no
+broadcast-layout gather operands, no i1 vreg concats, 128-lane-aligned
+slices only, mat-vec instead of lane<->sublane reshapes, `pl.multiple_of`
+hints for dynamic DMA offsets, int32 iota only.
 """
 from __future__ import annotations
 
@@ -50,7 +59,7 @@ from .geometry import TriangleSetup
 from .shade import GBuffer
 
 GOUT_ROWS = 16  # 15 attr rows + depth in ROW_DEPTH
-TILE8_H = 8     # pixel block layout inside the kernel: [8, tile_w]
+TILE8_H = 8     # sublane height of the [8, S*P/8] attr pixel-block layout
 
 
 def _cdiv(a, b):
@@ -61,7 +70,15 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                  n_small_entries, n_big_chunks, with_attrs):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
-    tile8_w = P // TILE8_H  # pixel-block lane width for the attr layout
+    SP = n_samples * P          # samples folded into lanes, sample-major
+    p8w = SP // TILE8_H         # lane width of [8, .] attr-layout blocks
+
+    def sample_select(s_idx, values):
+        """Per-lane select of a static per-sample constant."""
+        out = jnp.full(s_idx.shape, jnp.float32(values[0]))
+        for k in range(1, n_samples):
+            out = jnp.where(s_idx == k, jnp.float32(values[k]), out)
+        return out
 
     def process_chunk(mm, amm, base_entry, tile, accs):
         """mm: [3, COLS]; amm: [3, ATTR_COLS] or None. Accumulates into
@@ -80,9 +97,8 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
         c_adj = c_row + a_row * ox + b_row * oy          # [1, COLS]
 
-        # Flags as [CHUNK,1] columns. A [1,N]->[N,1] reshape is a slow
-        # lane->sublane relayout in Mosaic; a K=1 mat-vec lands the data
-        # sublane-major for free.
+        # Flags as [CHUNK,1] columns via a K=1 mat-vec (a [1,N]->[N,1]
+        # reshape is a slow lane->sublane relayout).
         unit = jnp.ones((1, 1), jnp.float32)
         fcc = jax.lax.dot_general(
             c_adj[:, 4 * CHUNK:], unit,
@@ -93,118 +109,117 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         tl2 = fcc[2 * CHUNK:3 * CHUNK]
         vld = fcc[3 * CHUNK:4 * CHUNK]
 
-        m3 = jnp.concatenate(
-            [a_row[:, :4 * CHUNK], b_row[:, :4 * CHUNK],
-             c_adj[:, :4 * CHUNK]], axis=0)              # [3, 256]
+        # Plane coefficients as [4*CHUNK, 1] columns (K=1 mat-vecs — the
+        # cheap sublane-major transpose).
+        acol = jax.lax.dot_general(
+            a_row[:, :4 * CHUNK], unit,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bcol = jax.lax.dot_general(
+            b_row[:, :4 * CHUNK], unit,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ccol = jax.lax.dot_general(
+            c_adj[:, :4 * CHUNK], unit,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # Pixel+sample coordinate rows, natively in [1, SP] lane layout.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1)
+        p_in_tile = lane % P
+        s_idx = lane // P
+        px = (p_in_tile % tile_w).astype(jnp.float32) + \
+            sample_select(s_idx, [o[0] for o in sample_offsets])
+        py = (p_in_tile // tile_w).astype(jnp.float32) + \
+            sample_select(s_idx, [o[1] for o in sample_offsets])
+
+        # Evaluate ALL plane groups for all samples/pixels as broadcast
+        # FMAs on the VPU. A [3,4C]x[3,SP] MXU contraction is 2.4%-utilized
+        # at K=3 and needs 3 bf16 passes; the VPU path is ~14x faster here
+        # AND exact f32.
+        et = acol * px + bcol * py + ccol                # [4*CHUNK, SP]
+        e0 = et[0:CHUNK]
+        e1 = et[CHUNK:2 * CHUNK]
+        e2 = et[2 * CHUNK:3 * CHUNK]
+        zv = et[3 * CHUNK:4 * CHUNK]
+        cov = (
+            ((e0 > 0.0) | ((e0 == 0.0) & (tl0 > 0.0)))
+            & ((e1 > 0.0) | ((e1 == 0.0) & (tl1 > 0.0)))
+            & ((e2 > 0.0) | ((e2 == 0.0) & (tl2 > 0.0)))
+        )
+        ok = cov & (zv >= 0.0) & (zv <= 1.0) & (vld > 0.0)
+        zm = jnp.where(ok, zv, 2.0)
+        zmin = jnp.min(zm, axis=0, keepdims=True)        # [1, SP]
+        tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        cand = jnp.where(ok & (zm == zmin), tri_idx, -1)
+        wl = jnp.max(cand, axis=0, keepdims=True)        # [1, SP] i32
+        zb = zacc[0:1, :]
+        take = (zmin <= zb) & (wl >= 0)
+        zacc[0:1, :] = jnp.where(take, zmin, zb)
+        wacc[0:1, :] = jnp.where(take, base_entry + wl, wacc[0:1, :])
 
         if with_attrs:
-            am3 = amm                                     # raw [3, ATTR_COLS]
-            # Gather tables are sample-invariant: build the 8-sublane
-            # replicated coefficient rows ONCE per chunk.
+            # Gather the WINNER's plane coefficients per pixel-sample and
+            # evaluate each plane with two FMAs — far cheaper than
+            # evaluating all candidates' planes everywhere.
             t8_rows = [
-                jnp.concatenate([am3[r:r + 1, :]] * TILE8_H, axis=0)
+                jnp.concatenate([amm[r:r + 1, :]] * TILE8_H, axis=0)
                 for r in range(3)
-            ]                                             # 3 x [8, ATTR_COLS]
+            ]                                            # 3 x [8, ATTR_COLS]
 
-        # Pixel coordinate rows built natively in [1, P] lane layout —
-        # a [P,1] -> [1,P] reshape is a sublane->lane transpose Mosaic
-        # executes very slowly.
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        px_row = (lane_row % tile_w).astype(jnp.float32)
-        py_row = (lane_row // tile_w).astype(jnp.float32)
-        tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            def to8(row):
+                """[1, SP] lane row -> [8, SP/8]: 128-aligned lane slices
+                stacked along sublanes (direct reshape is an unsupported
+                shape cast)."""
+                return jnp.concatenate(
+                    [row[:, r * p8w:(r + 1) * p8w]
+                     for r in range(TILE8_H)], axis=0)
 
-        for s, (sx, sy) in enumerate(sample_offsets):
-            pm = jnp.concatenate(
-                [px_row + sx, py_row + sy,
-                 jnp.ones((1, P), jnp.float32)], axis=0)  # [3, P]
-            et = jax.lax.dot_general(
-                m3, pm, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [4*CHUNK, P]
-            e0 = et[0:CHUNK]
-            e1 = et[CHUNK:2 * CHUNK]
-            e2 = et[2 * CHUNK:3 * CHUNK]
-            zv = et[3 * CHUNK:4 * CHUNK]
-            cov = (
-                ((e0 > 0.0) | ((e0 == 0.0) & (tl0 > 0.0)))
-                & ((e1 > 0.0) | ((e1 == 0.0) & (tl1 > 0.0)))
-                & ((e2 > 0.0) | ((e2 == 0.0) & (tl2 > 0.0)))
-            )
-            ok = cov & (zv >= 0.0) & (zv <= 1.0) & (vld > 0.0)
-            zm = jnp.where(ok, zv, 2.0)
-            zmin = jnp.min(zm, axis=0, keepdims=True)     # [1, P]
-            cand = jnp.where(ok & (zm == zmin), tri_idx, -1)
-            wl = jnp.max(cand, axis=0, keepdims=True)     # [1, P] i32
-            zb = zacc[s]                                  # [1, P]
-            take = (zmin <= zb) & (wl >= 0)
-            zacc[s] = jnp.where(take, zmin, zb)
-            wacc[s] = jnp.where(take, base_entry + wl, wacc[s])
+            wl8 = to8(jnp.maximum(wl, 0))
+            # i1 vreg concatenation asserts in Mosaic; relayout the mask
+            # as f32 and re-threshold.
+            take8 = to8(jnp.where(take, 1.0, 0.0)) > 0.5
+            # Absolute sample coordinates rebuilt directly in [8, SP/8].
+            l8 = (jax.lax.broadcasted_iota(
+                jnp.int32, (TILE8_H, p8w), 0) * p8w
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, p8w), 1))
+            p8 = l8 % P
+            s8 = l8 // P
+            sx8 = (p8 % tile_w).astype(jnp.float32) + ox + \
+                sample_select(s8, [o[0] for o in sample_offsets])
+            sy8 = (p8 // tile_w).astype(jnp.float32) + oy + \
+                sample_select(s8, [o[1] for o in sample_offsets])
 
-            import os
-            _amode = os.environ.get("MRT_ATTR_MODE", "gather")
-            if with_attrs and _amode != "none":
-                # Gather the WINNER's 45 plane coefficients per pixel
-                # (lane gathers from a 64-wide table), then evaluate each
-                # plane with two FMAs — orders of magnitude cheaper than
-                # evaluating all 64 candidates' planes at all pixels.
-                def to8(row):
-                    """[1, P] lane row -> [8, P/8]: 128-aligned lane
-                    slices stacked along sublanes (Mosaic rejects the
-                    direct reshape as an unsupported shape cast)."""
-                    return jnp.concatenate(
-                        [row[:, r * tile8_w:(r + 1) * tile8_w]
-                         for r in range(TILE8_H)], axis=0)
+            def gather_coef(r, g):
+                """Winner's coefficient (row r, group g) per pixel-sample.
 
-                wl8 = to8(jnp.maximum(wl, 0))
-                # i1 vreg concatenation asserts in Mosaic; relayout the
-                # mask as f32 and re-threshold.
-                take8 = to8(jnp.where(take, 1.0, 0.0)) > 0.5
-                # Pixel coordinates rebuilt directly in [8, P/8] layout
-                # (reshaping the [P,1] columns would be a relayout).
-                pidx = (jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE8_H, tile8_w), 0) * tile8_w
-                    + jax.lax.broadcasted_iota(
-                        jnp.int32, (TILE8_H, tile8_w), 1))
-                sx8 = (pidx % tile_w).astype(jnp.float32) + ox + sx
-                sy8 = (pidx // tile_w).astype(jnp.float32) + oy + sy
+                Tables are sliced at 128-lane grain (128/CHUNK groups per
+                slice) so every slice stays vreg-aligned; groups within a
+                slice are addressed by biasing the winner lane by
+                multiples of CHUNK.
+                """
+                per128 = 128 // CHUNK
+                pair = g // per128
+                t8 = t8_rows[r][:, pair * 128:(pair + 1) * 128]
+                idx = wl8 + CHUNK * (g % per128)
+                if p8w == 128:
+                    return jnp.take_along_axis(t8, idx, axis=1)
+                parts = []
+                for k in range(p8w // 128):
+                    parts.append(jnp.take_along_axis(
+                        t8, idx[:, k * 128:(k + 1) * 128], axis=1))
+                return jnp.concatenate(parts, axis=1)
 
-                def gather_coef(r, g):
-                    """Winner's coefficient (row r, group g) per pixel.
-
-                    Tables are sliced at 128-lane grain (128/CHUNK groups
-                    per slice) so every slice stays vreg-aligned — Mosaic
-                    rejects unaligned slices and broadcast-layout gather
-                    operands. Groups within a slice are addressed by
-                    biasing the winner lane by multiples of CHUNK.
-                    """
-                    per128 = 128 // CHUNK
-                    pair = g // per128
-                    t8 = t8_rows[r][:, pair * 128:(pair + 1) * 128]
-                    idx = wl8 + CHUNK * (g % per128)
-                    if tile8_w == 128:
-                        return jnp.take_along_axis(t8, idx, axis=1)
-                    parts = []
-                    for k in range(tile8_w // 128):
-                        parts.append(jnp.take_along_axis(
-                            t8, idx[:, k * 128:(k + 1) * 128], axis=1))
-                    return jnp.concatenate(parts, axis=1)
-
-                for g in range(ATTR_GROUPS):
-                    ag = gather_coef(0, g)
-                    bg = gather_coef(1, g)
-                    cg = gather_coef(2, g)
-                    val = ag * sx8 + bg * sy8 + cg
-                    gacc[s, g] = jnp.where(take8, val, gacc[s, g])
-                gacc[s, ROW_DEPTH] = to8(zacc[s])
+            for g in range(ATTR_GROUPS):
+                ag = gather_coef(0, g)
+                bg = gather_coef(1, g)
+                cg = gather_coef(2, g)
+                val = ag * sx8 + bg * sy8 + cg
+                gacc[g] = jnp.where(take8, val, gacc[g])
+            gacc[ROW_DEPTH] = to8(zacc[0:1, :])
 
     def kernel(tile_map, chunk_live, first_flag, last_flag,
                big_live, big_aabb, *refs):
-        # Accumulators live in SCRATCH (persistent across grid steps), so
-        # the output blocks are WRITE-ONLY and flushed once per tile —
-        # reading outputs as accumulators forces a serialized HBM
-        # round-trip on every grid step (~40us x 2k steps = the entire
-        # frame budget, measured).
         if with_attrs:
             (mm_ref, amm_ref, big_ref, bigattr_ref,
              depth_out, win_out, gout, zacc, wacc, gacc) = refs
@@ -218,14 +233,13 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
         @pl.when(first_flag[c] == 1)
         def _():
-            for s in range(n_samples):
-                zacc[s] = jnp.full((1, P), clear_depth, jnp.float32)
-                wacc[s] = jnp.full((1, P), -1, jnp.int32)
-                if with_attrs:
-                    gacc[s] = jnp.zeros((GOUT_ROWS, TILE8_H, P // TILE8_H),
-                                        jnp.float32)
-                    gacc[s, ROW_DEPTH] = jnp.full(
-                        (TILE8_H, P // TILE8_H), clear_depth, jnp.float32)
+            zacc[0:1, :] = jnp.full((1, SP), clear_depth, jnp.float32)
+            wacc[0:1, :] = jnp.full((1, SP), -1, jnp.int32)
+            if with_attrs:
+                gacc[...] = jnp.zeros((GOUT_ROWS, TILE8_H, p8w),
+                                      jnp.float32)
+                gacc[ROW_DEPTH] = jnp.full((TILE8_H, p8w), clear_depth,
+                                           jnp.float32)
 
         @pl.when(chunk_live[c] > 0)
         def _():
@@ -254,29 +268,17 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                         n_small_entries + bc * CHUNK, tile, accs)
 
             # Flush the finished tile to the (write-only) output blocks.
-            for s in range(n_samples):
-                depth_out[s, 0] = zacc[s]
-                win_out[s, 0] = wacc[s]
-                if with_attrs:
-                    for g in range(GOUT_ROWS):
-                        gout[s, 0, g * TILE8_H:(g + 1) * TILE8_H] = \
-                            gacc[s, g]
+            depth_out[0] = zacc[0:1, :]
+            win_out[0] = wacc[0:1, :]
+            if with_attrs:
+                for g in range(GOUT_ROWS):
+                    gout[0, g * TILE8_H:(g + 1) * TILE8_H] = gacc[g]
 
     return kernel
 
 
 def _should_interpret():
     return jax.default_backend() != "tpu"
-
-
-def _tile_view(x, n_samples, nty, ntx, tile_h, tile_w, height, width):
-    """[S, NT, 1|R, P] -> [S(, R), H, W]."""
-    r = x.shape[2]
-    x = x.reshape(n_samples, nty, ntx, r, tile_h, tile_w)
-    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(
-        n_samples, r, nty * tile_h, ntx * tile_w)
-    x = x[:, :, :height, :width]
-    return x[:, 0] if r == 1 else x
 
 
 @functools.partial(
@@ -305,6 +307,8 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     nt = ntx * nty
     P = tile_h * tile_w
     n_samples = len(sample_offsets)
+    SP = n_samples * P
+    p8w = SP // TILE8_H
     T = setup.valid.shape[0]
     mc = num_chunks(nt, T, span_cap)
     n_big_chunks = bins.big_chunks.shape[0]
@@ -313,10 +317,6 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
                           clear_depth, n_small_entries, n_big_chunks,
                           with_attrs)
-
-    out_block = lambda r: pl.BlockSpec(
-        (n_samples, 1, r, P), lambda c, tile_map, *refs:
-        (0, tile_map[c], 0, 0))
 
     in_specs = [pl.BlockSpec((1, 3, COLS), lambda c, *refs: (c, 0, 0))]
     operands = [bins.chunks]
@@ -332,25 +332,24 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                                      lambda c, *refs: (0, 0, 0)))
         operands.append(bins.big_attr_chunks)
 
-    out_specs = [out_block(1), out_block(1)]
+    out_block = lambda r, w: pl.BlockSpec(
+        (1, r, w), lambda c, tile_map, *refs: (tile_map[c], 0, 0))
+    out_specs = [out_block(1, SP), out_block(1, SP)]
     out_shape = [
-        jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.float32),
-        jax.ShapeDtypeStruct((n_samples, nt, 1, P), jnp.int32),
+        jax.ShapeDtypeStruct((nt, 1, SP), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, SP), jnp.int32),
     ]
     if with_attrs:
-        out_specs.append(pl.BlockSpec(
-            (n_samples, 1, GOUT_ROWS * TILE8_H, P // TILE8_H),
-            lambda c, tile_map, *refs: (0, tile_map[c], 0, 0)))
+        out_specs.append(out_block(GOUT_ROWS * TILE8_H, p8w))
         out_shape.append(jax.ShapeDtypeStruct(
-            (n_samples, nt, GOUT_ROWS * TILE8_H, P // TILE8_H), jnp.float32))
+            (nt, GOUT_ROWS * TILE8_H, p8w), jnp.float32))
 
     scratch = [
-        pltpu.VMEM((n_samples, 1, P), jnp.float32),
-        pltpu.VMEM((n_samples, 1, P), jnp.int32),
+        pltpu.VMEM((1, SP), jnp.float32),
+        pltpu.VMEM((1, SP), jnp.int32),
     ]
     if with_attrs:
-        scratch.append(pltpu.VMEM(
-            (n_samples, GOUT_ROWS, TILE8_H, P // TILE8_H), jnp.float32))
+        scratch.append(pltpu.VMEM((GOUT_ROWS, TILE8_H, p8w), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -368,17 +367,22 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     )(bins.tile_of_chunk, bins.chunk_live, bins.first_flag, bins.last_flag,
       bins.big_live, bins.big_aabb, *operands)
 
-    view = lambda x: _tile_view(x, n_samples, nty, ntx, tile_h, tile_w,
-                                height, width)
-    depth = view(outs[0])
-    win_entry = view(outs[1])
+    # Unfold samples from lanes: [NT, 1, S*P] -> [S, H, W].
+    def unfold(x):
+        x = x.reshape(nty, ntx, n_samples, tile_h, tile_w)
+        x = x.transpose(2, 0, 3, 1, 4).reshape(
+            n_samples, nty * tile_h, ntx * tile_w)
+        return x[:, :height, :width]
+
+    depth = unfold(outs[0])
+    win_entry = unfold(outs[1])
     if with_attrs:
-        # [S, NT, 16*8, P/8]: pixel p = y*tile_w + x lives at
-        # (row 8*g + (p // (P/8)), col p % (P/8)). Undo in XLA.
-        g_raw = outs[2].reshape(n_samples, nty, ntx, GOUT_ROWS, P)
-        g_raw = g_raw.reshape(n_samples, nty, ntx, GOUT_ROWS,
+        # [NT, 16*8, SP/8]: flat lane l = r*(SP/8)+c maps to sample l//P,
+        # pixel l%P. Undo in plain XLA.
+        g_raw = outs[2].reshape(nt, GOUT_ROWS, SP)
+        g_raw = g_raw.reshape(nty, ntx, GOUT_ROWS, n_samples,
                               tile_h, tile_w)
-        gout = g_raw.transpose(0, 3, 1, 4, 2, 5).reshape(
+        gout = g_raw.transpose(3, 2, 0, 4, 1, 5).reshape(
             n_samples, GOUT_ROWS, nty * tile_h, ntx * tile_w)
         gout = gout[:, :, :height, :width]
     else:
@@ -388,6 +392,38 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                        bins.entry_to_tri[jnp.maximum(win_entry, 0)], -1)
     stats = {"big_dropped": bins.num_big_dropped}
     return depth, winner, gout, stats
+
+
+def channels_from_gout(gout, winner):
+    """SoA shading channels straight from the kernel's attribute rows.
+
+    Every channel is a full-width [S, H, W] slice of gout (no [..., 3]
+    minor-dim arrays anywhere — XLA never cancels the AoS round-trip and
+    minor-dim-3 relayouts cost ~10x the entire shading math).
+    """
+    invw = gout[:, ROW_INVW]
+    covered = winner >= 0
+    inv = 1.0 / jnp.where(invw > 0.0, invw, 1.0)
+
+    def row(i):
+        return gout[:, i] * inv
+
+    return {
+        "wx": row(ROW_WORLD), "wy": row(ROW_WORLD + 1),
+        "wz": row(ROW_WORLD + 2),
+        "nx": row(ROW_NORMAL), "ny": row(ROW_NORMAL + 1),
+        "nz": row(ROW_NORMAL + 2),
+        "u": row(ROW_UV), "v": row(ROW_UV + 1),
+        "kind": jnp.where(covered,
+                          jnp.rint(row(ROW_MATKIND)).astype(jnp.int32), -1),
+        "texid": jnp.where(covered,
+                           jnp.rint(row(ROW_TEXID)).astype(jnp.int32), -1),
+        "nmid": jnp.where(covered,
+                          jnp.rint(row(ROW_NMID)).astype(jnp.int32), -1),
+        "cr": row(ROW_COLOR), "cg": row(ROW_COLOR + 1),
+        "cb": row(ROW_COLOR + 2),
+        "covered": covered,
+    }
 
 
 def gbuffer_from_gout(gout, winner, depth) -> GBuffer:

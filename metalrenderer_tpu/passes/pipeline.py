@@ -154,7 +154,7 @@ def render_frame(scene: Scene, camera, lighting,
         gbuf = raster_gbuffer(setup, pass_geom, config)
         channels = channels_from_gbuffer(gbuf)
 
-    samples = shade_channels(
+    r, g, b, a = shade_channels(
         channels,
         camera_pos=camera.position,
         light_pos=light.position,
@@ -168,8 +168,13 @@ def render_frame(scene: Scene, camera, lighting,
         shadow_factor_value=config.shadow_factor,
         tiled_sampler=(backend == "pallas"),
         shadow_per_pixel=config.shadow_per_pixel,
+        return_planes=True,
     )
-    framebuffer = jnp.mean(samples, axis=0)  # MSAA box resolve
+    # MSAA box resolve per channel plane; pack [H, W, 4] exactly once —
+    # stacking before the resolve would materialize a [S,H,W,4] minor-4
+    # layout (another ~10x lane-efficiency trap).
+    framebuffer = jnp.stack(
+        [jnp.mean(c, axis=0) for c in (r, g, b, a)], axis=-1)
     stats["covered_fraction"] = jnp.mean(
         channels["covered"].astype(jnp.float32))
     return framebuffer, stats

@@ -302,7 +302,8 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
                    ambient_intensity, shininess, clear_color,
                    shadow_ctx: ShadowContext = None, textures=(),
                    shadow_bias=0.005, shadow_factor_value=0.5,
-                   tiled_sampler=False, shadow_per_pixel=True):
+                   tiled_sampler=False, shadow_per_pixel=True,
+                   return_planes=False):
     """Full fragment stage over SoA channel planes -> f32[..., 4] RGBA.
 
     ``ch``: dict of full-width planes (each [S, H, W] or broadcastable):
@@ -365,6 +366,8 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
     g = jnp.where(covered, g, clear[1])
     b = jnp.where(covered, b, clear[2])
     a = jnp.where(covered, a, clear[3])
+    if return_planes:
+        return r, g, b, a
     return jnp.stack([r, g, b, a], axis=-1)
 
 

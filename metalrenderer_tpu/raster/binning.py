@@ -33,9 +33,15 @@ from .geometry import TriangleSetup, scalar_planes
 CHUNK = 32          # triangles per chunk (matmul lane group). 32 keeps
                     # every lane slice 128-aligned (4*CHUNK = 128) while
                     # halving the wasted lanes of sparse tiles vs 64.
-GROUPS = 8          # e0, e1, e2, z, tl0, tl1, tl2, valid
-COLS = CHUNK * GROUPS  # 256
-VIS_FIELDS = 16
+# Plane groups e0, e1, e2, z then flag groups tl0, tl1, tl2, valid, tid
+# (padded to 8 flag groups so every lane slice stays 128-aligned). The
+# tid group carries the triangle id as a constant "plane" so the kernel
+# resolves the WINNING TRIANGLE ID in-register — resolving it outside
+# the kernel needs an XLA gather over every pixel-sample, which the TPU
+# gather expander serializes (~62 ms per 1080p MSAA4 frame, measured).
+GROUPS = 12
+COLS = CHUNK * GROUPS  # 384
+VIS_FIELDS = 17
 
 # Attribute-plane groups (each an affine plane of value/w in screen space;
 # constants like mat_kind become value * (1/w)-plane and divide back out):
@@ -58,15 +64,20 @@ ROW_DEPTH = 15  # depth stored in the spare padded row
 
 
 def build_tri_fields(setup: TriangleSetup) -> jnp.ndarray:
-    """Per-triangle visibility fields [T, 16]:
-    A0,B0,C0, A1,B1,C1, A2,B2,C2, az,bz,cz, tl0,tl1,tl2, valid."""
+    """Per-triangle visibility fields [T, 17]:
+    A0,B0,C0, A1,B1,C1, A2,B2,C2, az,bz,cz, tl0,tl1,tl2, valid, tid.
+
+    tid is the submission-order triangle id as f32 (exact up to 2^24
+    triangles — far above the per-pass triangle budget)."""
     zplanes = scalar_planes(setup, setup.z)          # [T, 3]
+    t = setup.valid.shape[0]
     rec = jnp.concatenate(
         [
             setup.edge.reshape(-1, 9),
             zplanes,
             setup.top_left.astype(jnp.float32),
             setup.valid.astype(jnp.float32)[:, None],
+            jnp.arange(t, dtype=jnp.float32)[:, None],
         ],
         axis=-1,
     )
@@ -99,14 +110,16 @@ def build_attr_fields(setup: TriangleSetup, pg) -> jnp.ndarray:
 
 
 def _fields_to_chunks(fields_padded):
-    """[N*CHUNK, 16] -> visibility matmul operand [N, 3, COLS]."""
+    """[N*CHUNK, 17] -> visibility matmul operand [N, 3, COLS]."""
     n = fields_padded.shape[0] // CHUNK
     r = fields_padded.reshape(n, CHUNK, VIS_FIELDS)
-    zeros4 = jnp.zeros((n, CHUNK, 4), jnp.float32)
+    zeros8 = jnp.zeros((n, CHUNK, GROUPS - 4), jnp.float32)
+    zeros3 = jnp.zeros((n, CHUNK, GROUPS - 9), jnp.float32)
     # Rows gather (field indices per group) then [N, CHUNK, G] -> [N, G*CHUNK]
-    a = jnp.concatenate([r[:, :, (0, 3, 6, 9)], zeros4], axis=-1)
-    b = jnp.concatenate([r[:, :, (1, 4, 7, 10)], zeros4], axis=-1)
-    c = r[:, :, (2, 5, 8, 11, 12, 13, 14, 15)]
+    a = jnp.concatenate([r[:, :, (0, 3, 6, 9)], zeros8], axis=-1)
+    b = jnp.concatenate([r[:, :, (1, 4, 7, 10)], zeros8], axis=-1)
+    c = jnp.concatenate(
+        [r[:, :, (2, 5, 8, 11, 12, 13, 14, 15, 16)], zeros3], axis=-1)
     def to_cols(x):  # [N, CHUNK, G] -> [N, G*CHUNK]
         return x.transpose(0, 2, 1).reshape(n, COLS)
     return jnp.stack([to_cols(a), to_cols(b), to_cols(c)], axis=1)
@@ -135,7 +148,6 @@ class TileBins:
     # --- blocked operands ---
     chunks: jnp.ndarray          # f32[MC, 3, COLS]
     attr_chunks: jnp.ndarray     # f32[MC, 3, ATTR_COLS] or None
-    entry_to_tri: jnp.ndarray    # i32[MC*CHUNK + BC*CHUNK] -> tri id or -1
     # --- big list ---
     big_chunks: jnp.ndarray      # f32[BC, 3, COLS]
     big_attr_chunks: jnp.ndarray  # f32[BC, 3, ATTR_COLS] or None
@@ -214,8 +226,6 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     slot_fields = jnp.zeros((n_entries + 1, n_fields), jnp.float32)
     slot_fields = slot_fields.at[pos].set(fields16[payload_sorted],
                                           mode="drop")
-    slot_tri = jnp.full((n_entries + 1,), -1, jnp.int32)
-    slot_tri = slot_tri.at[pos].set(payload_sorted, mode="drop")
 
     chunks = _fields_to_chunks(slot_fields[:n_entries, :VIS_FIELDS])
     attr_chunks = (_attr_fields_to_chunks(
@@ -252,10 +262,6 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     if pad:
         big_fields = jnp.concatenate(
             [big_fields, jnp.zeros((pad, n_fields), jnp.float32)])
-        big_ids_p = jnp.concatenate(
-            [big_ids, jnp.full((pad,), -1, jnp.int32)])
-    else:
-        big_ids_p = big_ids
     big_chunks = _fields_to_chunks(big_fields[:, :VIS_FIELDS])
     big_attr_chunks = (_attr_fields_to_chunks(big_fields[:, VIS_FIELDS:])
                        if attr_fields is not None else None)
@@ -287,12 +293,10 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     big_aabb = jnp.where(jnp.isfinite(big_aabb), big_aabb, 0.0)
     big_aabb = jnp.clip(big_aabb, -2**30, 2**30).astype(jnp.int32).reshape(-1)
 
-    entry_to_tri = jnp.concatenate([slot_tri[:n_entries], big_ids_p])
-
     return TileBins(
         tile_of_chunk=tile_of_chunk, chunk_live=chunk_live,
         first_flag=first_flag, last_flag=last_flag,
-        chunks=chunks, attr_chunks=attr_chunks, entry_to_tri=entry_to_tri,
+        chunks=chunks, attr_chunks=attr_chunks,
         big_chunks=big_chunks, big_attr_chunks=big_attr_chunks,
         big_live=big_live_n, big_aabb=big_aabb,
         num_big_dropped=jnp.maximum(n_big - cap, 0).astype(jnp.int32),

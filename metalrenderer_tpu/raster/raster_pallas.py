@@ -13,8 +13,11 @@ Design (TPU-first; see binning.py for the data-layout contract):
     [1, S*P] rows (sample-major), so one MXU contraction and one set of
     VPU ops cover all samples of all pixels — there is no per-sample
     loop anywhere in the kernel.
-  * Each chunk is a [3, 8*CHUNK] visibility operand (rows A, B, C of
-    plane groups e0, e1, e2, z, tl0, tl1, tl2, valid) plus a
+  * Each chunk is a [3, 12*CHUNK] visibility operand (rows A, B, C of
+    plane groups e0, e1, e2, z and flag groups tl0, tl1, tl2, valid,
+    tid + padding; tid lets the kernel resolve the winning TRIANGLE ID
+    in-register — the alternative, an entry->tri XLA gather per pixel,
+    costs ~62 ms per 1080p MSAA4 frame) plus a
     [3, 16*CHUNK] attribute operand (value/w planes — world, uv, normal,
     1/w, and per-triangle constants riding the 1/w plane). Triangles live
     in sublanes of the evaluated planes, pixels in lanes; depth resolve
@@ -67,7 +70,7 @@ def _cdiv(a, b):
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 n_small_entries, n_big_chunks, with_attrs):
+                 n_big_chunks, with_attrs):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
@@ -80,7 +83,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             out = jnp.where(s_idx == k, jnp.float32(values[k]), out)
         return out
 
-    def process_chunk(mm, amm, base_entry, tile, accs):
+    def process_chunk(mm, amm, tile, accs):
         """mm: [3, COLS]; amm: [3, ATTR_COLS] or None. Accumulates into
         VMEM scratch (persistent across grid steps)."""
         if with_attrs:
@@ -103,11 +106,12 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         fcc = jax.lax.dot_general(
             c_adj[:, 4 * CHUNK:], unit,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [4*CHUNK, 1]
+            preferred_element_type=jnp.float32)          # [8*CHUNK, 1]
         tl0 = fcc[0:CHUNK]
         tl1 = fcc[CHUNK:2 * CHUNK]
         tl2 = fcc[2 * CHUNK:3 * CHUNK]
         vld = fcc[3 * CHUNK:4 * CHUNK]
+        tid = fcc[4 * CHUNK:5 * CHUNK]
 
         # Plane coefficients as [4*CHUNK, 1] columns (K=1 mat-vecs — the
         # cheap sublane-major transpose).
@@ -150,18 +154,28 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         ok = cov & (zv >= 0.0) & (zv <= 1.0) & (vld > 0.0)
         zm = jnp.where(ok, zv, 2.0)
         zmin = jnp.min(zm, axis=0, keepdims=True)        # [1, SP]
-        tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        cand = jnp.where(ok & (zm == zmin), tri_idx, -1)
-        wl = jnp.max(cand, axis=0, keepdims=True)        # [1, SP] i32
+        at_min = ok & (zm == zmin)
+        # Winning TRIANGLE ID resolved in-register: per-tile entry lists
+        # ascend in submission order, so "max tid among the z-min
+        # candidates" is exactly the LessEqual submission-order tie-break
+        # (and later chunks overwrite on zmin <= zbuf below). Doing this
+        # here removes the per-pixel entry->tri XLA gather that cost
+        # ~62 ms per 1080p MSAA4 frame.
+        cand_tid = jnp.where(at_min, tid, -1.0)
+        wt = jnp.max(cand_tid, axis=0, keepdims=True)    # [1, SP] f32
         zb = zacc[0:1, :]
-        take = (zmin <= zb) & (wl >= 0)
+        take = (zmin <= zb) & (wt >= 0.0)
         zacc[0:1, :] = jnp.where(take, zmin, zb)
-        wacc[0:1, :] = jnp.where(take, base_entry + wl, wacc[0:1, :])
+        wacc[0:1, :] = jnp.where(take, wt.astype(jnp.int32), wacc[0:1, :])
 
         if with_attrs:
             # Gather the WINNER's plane coefficients per pixel-sample and
             # evaluate each plane with two FMAs — far cheaper than
-            # evaluating all candidates' planes everywhere.
+            # evaluating all candidates' planes everywhere. The gathers
+            # want the winner's CHUNK-LOCAL sublane index.
+            tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            cand = jnp.where(at_min, tri_idx, -1)
+            wl = jnp.max(cand, axis=0, keepdims=True)    # [1, SP] i32
             t8_rows = [
                 jnp.concatenate([amm[r:r + 1, :]] * TILE8_H, axis=0)
                 for r in range(3)
@@ -244,7 +258,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         @pl.when(chunk_live[c] > 0)
         def _():
             process_chunk(mm_ref[0], amm_ref[0] if with_attrs else None,
-                          c * CHUNK, tile, accs)
+                          tile, accs)
 
         @pl.when(last_flag[c] == 1)
         def _():
@@ -265,7 +279,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                     process_chunk(
                         big_ref[bc],
                         bigattr_ref[bc] if with_attrs else None,
-                        n_small_entries + bc * CHUNK, tile, accs)
+                        tile, accs)
 
             # Flush the finished tile to the (write-only) output blocks.
             depth_out[0] = zacc[0:1, :]
@@ -312,11 +326,9 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     T = setup.valid.shape[0]
     mc = num_chunks(nt, T, span_cap)
     n_big_chunks = bins.big_chunks.shape[0]
-    n_small_entries = mc * CHUNK
 
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
-                          clear_depth, n_small_entries, n_big_chunks,
-                          with_attrs)
+                          clear_depth, n_big_chunks, with_attrs)
 
     in_specs = [pl.BlockSpec((1, 3, COLS), lambda c, *refs: (c, 0, 0))]
     operands = [bins.chunks]
@@ -375,7 +387,7 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         return x[:, :height, :width]
 
     depth = unfold(outs[0])
-    win_entry = unfold(outs[1])
+    winner = unfold(outs[1])    # triangle ids, resolved in-kernel
     if with_attrs:
         # [NT, 16*8, SP/8]: flat lane l = r*(SP/8)+c maps to sample l//P,
         # pixel l%P. Undo in plain XLA.
@@ -388,8 +400,6 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     else:
         gout = None
 
-    winner = jnp.where(win_entry >= 0,
-                       bins.entry_to_tri[jnp.maximum(win_entry, 0)], -1)
     stats = {"big_dropped": bins.num_big_dropped}
     return depth, winner, gout, stats
 

@@ -10,13 +10,15 @@ rules — no unaligned DMA slices, no scalar extracts from VMEM):
   * Triangles expand to (tile, tri) entries (span cap K), stably sorted by
     tile id — stability preserves submission order, which the LessEqual
     depth tie-break requires (mtl_engine.mm:437).
-  * Entries are packed into chunks of 64; every tile owns
-    ``max(1, ceil(count/64))`` whole chunks (an empty tile still owns one
-    chunk so the kernel initializes its framebuffer block).
-  * Each chunk becomes a ``[3, 512]`` f32 matmul operand: rows A, B, C of
-    8 lane-groups x 64 triangles: [e0 | e1 | e2 | z | tl0 | tl1 | tl2 |
-    valid]. Edge/z groups hold real plane coefficients; flag groups have
-    A=B=0 so the "plane" evaluates to the constant flag.
+  * Entries are packed into CHUNK-aligned per-tile runs; tiles are
+    row-major so each band (tile row) owns one contiguous chunk range
+    [band_start, band_end) and empty tiles own nothing — the band kernel
+    walks the range with a dynamic-trip-count loop, so sparse scenes pay
+    only for live chunks.
+  * Each chunk becomes a ``[3, COLS]`` f32 operand: rows A, B, C of
+    lane groups [e0 | e1 | e2 | z | tl0 | tl1 | tl2 | valid | tid | pad].
+    Edge/z groups hold real plane coefficients; flag groups have A=B=0 so
+    the "plane" evaluates to the constant flag.
   * Triangles spanning more than the cap (e.g. the floor plane) go to a
     fixed-capacity "big" list in the same chunk format, processed by every
     tile (gated by a per-chunk union-AABB test). Overflow is counted,
@@ -122,7 +124,10 @@ def _fields_to_chunks(fields_padded):
         [r[:, :, (2, 5, 8, 11, 12, 13, 14, 15, 16)], zeros3], axis=-1)
     def to_cols(x):  # [N, CHUNK, G] -> [N, G*CHUNK]
         return x.transpose(0, 2, 1).reshape(n, COLS)
-    return jnp.stack([to_cols(a), to_cols(b), to_cols(c)], axis=1)
+    # Row 3 is zero padding: Mosaic tiles the operand (4, 128), so the
+    # kernel's dynamic per-chunk DMA slice must be 4 sublanes tall.
+    return jnp.stack([to_cols(a), to_cols(b), to_cols(c),
+                      jnp.zeros((n, COLS), jnp.float32)], axis=1)
 
 
 def _attr_fields_to_chunks(attr_padded):
@@ -132,25 +137,32 @@ def _attr_fields_to_chunks(attr_padded):
     pad = jnp.zeros((n, CHUNK, ATTR_GROUPS_PADDED - ATTR_GROUPS, 3),
                     jnp.float32)
     r = jnp.concatenate([r, pad], axis=2)            # [N, CHUNK, 16, 3]
-    # -> [N, 3, 16*CHUNK] with group-major lanes.
-    return r.transpose(0, 3, 2, 1).reshape(n, 3, ATTR_COLS)
+    # -> [N, 4, 16*CHUNK] with group-major lanes (row 3 = DMA-tiling pad).
+    rows3 = r.transpose(0, 3, 2, 1).reshape(n, 3, ATTR_COLS)
+    return jnp.concatenate(
+        [rows3, jnp.zeros((n, 1, ATTR_COLS), jnp.float32)], axis=1)
 
 
 @pytree_dataclass
 class TileBins:
-    """Binning result consumed by the raster kernel."""
+    """Binning result consumed by the band raster kernel.
 
-    # --- scalar prefetch (one per chunk grid step) ---
-    tile_of_chunk: jnp.ndarray   # i32[MC] output tile per chunk (monotone)
-    chunk_live: jnp.ndarray      # i32[MC] live entries in chunk (0 => skip)
-    first_flag: jnp.ndarray      # i32[MC] 1 on a tile's first chunk
-    last_flag: jnp.ndarray       # i32[MC] 1 on a tile's last chunk
-    # --- blocked operands ---
-    chunks: jnp.ndarray          # f32[MC, 3, COLS]
-    attr_chunks: jnp.ndarray     # f32[MC, 3, ATTR_COLS] or None
+    Chunks are laid out band-major (tiles sorted row-major), each tile's
+    entries starting at a chunk boundary, so a band's chunks form one
+    contiguous range [band_start[b], band_end[b]) that the kernel walks
+    with a dynamic-trip-count loop — empty tiles own NO chunks and cost
+    nothing (no dead grid steps at high tile counts)."""
+
+    # --- scalar prefetch ---
+    band_start: jnp.ndarray      # i32[NBANDS] first chunk of each band
+    band_end: jnp.ndarray        # i32[NBANDS] one past the last chunk
+    sub_of_chunk: jnp.ndarray    # i32[MC] subtile (x tile index) per chunk
+    # --- blocked operands (stay in HBM; kernel DMAs per chunk) ---
+    chunks: jnp.ndarray          # f32[MC, 4, COLS] (row 3 = pad)
+    attr_chunks: jnp.ndarray     # f32[MC, 4, ATTR_COLS] or None
     # --- big list ---
-    big_chunks: jnp.ndarray      # f32[BC, 3, COLS]
-    big_attr_chunks: jnp.ndarray  # f32[BC, 3, ATTR_COLS] or None
+    big_chunks: jnp.ndarray      # f32[BC, 4, COLS]
+    big_attr_chunks: jnp.ndarray  # f32[BC, 4, ATTR_COLS] or None
     big_live: jnp.ndarray        # i32[BC] live entries per big chunk
     big_aabb: jnp.ndarray        # i32[BC*4] union xmin,ymin,xmax,ymax
     num_big_dropped: jnp.ndarray  # i32[] overflow beyond capacity
@@ -209,7 +221,9 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     starts = starts.astype(jnp.int32)
 
     # --- chunk-aligned layout ---------------------------------------------
-    nchunks = jnp.maximum(1, -(-counts // CHUNK))          # [NT]
+    # Empty tiles own zero chunks (the band kernel initializes the whole
+    # band up front, so no per-tile init chunk is needed).
+    nchunks = (-(-counts // CHUNK)).astype(jnp.int32)      # [NT]
     chunk_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)])
 
@@ -232,7 +246,7 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
         slot_fields[:n_entries, VIS_FIELDS:])
         if attr_fields is not None else None)
 
-    # Per-chunk metadata.
+    # Per-chunk / per-band metadata.
     c_idx = jnp.arange(mc, dtype=jnp.int32)
     # tile_of_chunk: tile whose [chunk_start, chunk_start+nchunks) contains c.
     ends = chunk_start + nchunks
@@ -240,14 +254,11 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     in_use = c_idx < ends[-1]
     tile_of_chunk = jnp.where(in_use, jnp.minimum(tile_of_chunk, nt - 1),
                               nt - 1)
-    local = c_idx - chunk_start[tile_of_chunk]
-    t_count = counts[tile_of_chunk]
-    chunk_live = jnp.where(
-        in_use, jnp.clip(t_count - local * CHUNK, 0, CHUNK), 0
-    ).astype(jnp.int32)
-    first_flag = jnp.where(in_use & (local == 0), 1, 0).astype(jnp.int32)
-    last_flag = jnp.where(
-        in_use & (local == nchunks[tile_of_chunk] - 1), 1, 0).astype(jnp.int32)
+    sub_of_chunk = (tile_of_chunk % ntx).astype(jnp.int32)
+    # Tiles are row-major, so each band's chunks are contiguous.
+    band_start = chunk_start[::ntx].astype(jnp.int32)
+    band_end = jnp.concatenate(
+        [band_start[1:], ends[-1:].astype(jnp.int32)])
 
     # --- big list -----------------------------------------------------------
     bc = -(-big_capacity // CHUNK)
@@ -294,8 +305,8 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     big_aabb = jnp.clip(big_aabb, -2**30, 2**30).astype(jnp.int32).reshape(-1)
 
     return TileBins(
-        tile_of_chunk=tile_of_chunk, chunk_live=chunk_live,
-        first_flag=first_flag, last_flag=last_flag,
+        band_start=band_start, band_end=band_end,
+        sub_of_chunk=sub_of_chunk,
         chunks=chunks, attr_chunks=attr_chunks,
         big_chunks=big_chunks, big_attr_chunks=big_attr_chunks,
         big_live=big_live_n, big_aabb=big_aabb,

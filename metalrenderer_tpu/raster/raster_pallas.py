@@ -1,47 +1,53 @@
-"""Tile-binned Pallas rasterizer — the TPU replacement for Metal's
+"""Band-structured Pallas rasterizer — the TPU replacement for Metal's
 fixed-function raster + depth hardware plus the attribute interpolators
 (SURVEY.md §2 "the centerpiece Pallas kernel").
 
 Design (TPU-first; see binning.py for the data-layout contract):
 
-  * Grid = one program per triangle CHUNK. A scalar-prefetch array maps
-    each chunk to its framebuffer tile; consecutive chunks of one tile
-    accumulate in persistent VMEM scratch, and the (write-only) output
-    blocks are flushed once per tile — reading outputs as accumulators
-    would force a serialized HBM round-trip per grid step.
-  * MSAA samples are folded into LANES: every per-pixel quantity lives in
-    [1, S*P] rows (sample-major), so one MXU contraction and one set of
-    VPU ops cover all samples of all pixels — there is no per-sample
-    loop anywhere in the kernel.
+  * Grid = one program per 8-pixel-tall BAND of the framebuffer. Output
+    block index maps are static (band = program id), so output DMA
+    pipelines; accumulation happens directly in the output blocks in
+    VMEM and flushes once per band.
+  * Each band walks its chunk list [band_start, band_end) with a
+    DYNAMIC-trip-count ``fori_loop`` + double-buffered HBM->VMEM chunk
+    DMA. Empty tiles own no chunks, so sparse scenes pay nothing for
+    them — the previous one-grid-step-per-chunk design paid a fixed
+    ~2.5 us for every (tile, chunk) slot including dead padding, which
+    is a scaling cliff at 100k+ triangles.
+  * MSAA samples are folded into LANES: per-subtile quantities live in
+    [1, S*P] rows (sample-major) while being computed, and in a dense
+    [8, S*P/8] "to8" layout while stored, so the VPU runs full-width
+    and VMEM holds no 1/8-utilized vregs.
   * Each chunk is a [3, 12*CHUNK] visibility operand (rows A, B, C of
     plane groups e0, e1, e2, z and flag groups tl0, tl1, tl2, valid,
-    tid + padding; tid lets the kernel resolve the winning TRIANGLE ID
-    in-register — the alternative, an entry->tri XLA gather per pixel,
-    costs ~62 ms per 1080p MSAA4 frame) plus a
-    [3, 16*CHUNK] attribute operand (value/w planes — world, uv, normal,
-    1/w, and per-triangle constants riding the 1/w plane). Triangles live
-    in sublanes of the evaluated planes, pixels in lanes; depth resolve
-    is a sublane min.
+    tid + padding) plus a [3, 16*CHUNK] attribute operand (value/w
+    planes — world, uv, normal, 1/w, and per-triangle constants riding
+    the 1/w plane). Triangles live in sublanes of the evaluated planes,
+    pixels in lanes; depth resolve is a sublane min.
+  * The winning TRIANGLE ID is resolved in-register from the tid flag
+    group (masked max) — resolving it outside the kernel would need an
+    entry->tri XLA gather per pixel-sample, which the TPU gather
+    expander serializes (~62 ms per 1080p MSAA4 frame, measured).
   * Attribute interpolation gathers only the WINNER's 45 plane
     coefficients per pixel (in-register lane gathers from CHUNK-wide
     tables) and evaluates each plane with two FMAs. Zero XLA gathers
-    exist anywhere in the frame (the XLA gather expander costs ~430 ms
-    per 1080p frame, measured).
+    exist anywhere in the frame.
   * Watertightness under the MXU's 3-pass bf16 f32 emulation: shared-edge
     coefficients are exact negations, multiply/add are sign-symmetric
     under IEEE rounding, so e_left == -e_right exactly and every sample
     lands in exactly one of two adjacent triangles.
   * Depth semantics: LessEqual + submission-order tie-break, matching the
     reference's depth state (mtl_engine.mm:436-439). Within a chunk the
-    max sublane index among z == zmin wins; across chunks `zmin <= zbuf`
-    lets later chunks win ties. Big triangles (span > cap) run after a
-    tile's binned list — same-z ties between a big and a small triangle
-    are the one documented deviation.
+    max tid among z == zmin wins; across chunks `zmin <= zbuf` lets later
+    chunks win ties; per-tile entry lists ascend in submission order.
+    Big triangles (span > cap) run after a subtile's binned list — same-z
+    ties between a big and a small triangle are the one documented
+    deviation.
 
 Mosaic constraints encoded here (each cost a probe to find): no
 broadcast-layout gather operands, no i1 vreg concats, 128-lane-aligned
 slices only, mat-vec instead of lane<->sublane reshapes, `pl.multiple_of`
-hints for dynamic DMA offsets, int32 iota only.
+hints for dynamic offsets, int32 iota only.
 """
 from __future__ import annotations
 
@@ -56,13 +62,12 @@ from ..config import RenderConfig
 from .binning import (ATTR_COLS, ATTR_GROUPS, CHUNK, COLS, ROW_DEPTH,
                       ROW_COLOR, ROW_INVW, ROW_MATKIND, ROW_NMID,
                       ROW_NORMAL, ROW_TEXID, ROW_UV, ROW_WORLD,
-                      bin_triangles, build_attr_fields, build_tri_fields,
-                      num_chunks)
+                      bin_triangles, build_attr_fields, build_tri_fields)
 from .geometry import TriangleSetup
 from .shade import GBuffer
 
 GOUT_ROWS = 16  # 15 attr rows + depth in ROW_DEPTH
-TILE8_H = 8     # sublane height of the [8, S*P/8] attr pixel-block layout
+TILE8_H = 8     # sublane height of the [8, S*P/8] dense pixel-block layout
 
 
 def _cdiv(a, b):
@@ -74,7 +79,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
-    p8w = SP // TILE8_H         # lane width of [8, .] attr-layout blocks
+    p8w = SP // TILE8_H         # lane width of [8, .] dense-layout blocks
 
     def sample_select(s_idx, values):
         """Per-lane select of a static per-sample constant."""
@@ -83,20 +88,24 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             out = jnp.where(s_idx == k, jnp.float32(values[k]), out)
         return out
 
-    def process_chunk(mm, amm, tile, accs):
+    def to8(row):
+        """[1, SP] lane row -> [8, SP/8]: 128-aligned lane slices stacked
+        along sublanes (a direct reshape is an unsupported shape cast)."""
+        return jnp.concatenate(
+            [row[:, r * p8w:(r + 1) * p8w] for r in range(TILE8_H)], axis=0)
+
+    def process_chunk(mm, amm, sub, oy, outs):
         """mm: [3, COLS]; amm: [3, ATTR_COLS] or None. Accumulates into
-        VMEM scratch (persistent across grid steps)."""
+        this band's output blocks at subtile ``sub``."""
         if with_attrs:
-            zacc, wacc, gacc = accs
+            depth_blk, win_blk, gout_blk = outs
         else:
-            zacc, wacc = accs
-        tx = tile % ntx
-        ty = tile // ntx
-        ox = (tx * tile_w).astype(jnp.float32)
-        oy = (ty * tile_h).astype(jnp.float32)
+            depth_blk, win_blk = outs
+        ox = (sub * tile_w).astype(jnp.float32)
+        lane_off = pl.multiple_of(sub * p8w, p8w)
 
         # Tile-relative C rows (exact f32 FMAs keep edge magnitudes small
-        # so the bf16x3 matmul stays sub-1/256-pixel accurate).
+        # so plane evaluation stays sub-1/256-pixel accurate).
         a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
         c_adj = c_row + a_row * ox + b_row * oy          # [1, COLS]
 
@@ -155,18 +164,17 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         zm = jnp.where(ok, zv, 2.0)
         zmin = jnp.min(zm, axis=0, keepdims=True)        # [1, SP]
         at_min = ok & (zm == zmin)
-        # Winning TRIANGLE ID resolved in-register: per-tile entry lists
-        # ascend in submission order, so "max tid among the z-min
-        # candidates" is exactly the LessEqual submission-order tie-break
-        # (and later chunks overwrite on zmin <= zbuf below). Doing this
-        # here removes the per-pixel entry->tri XLA gather that cost
-        # ~62 ms per 1080p MSAA4 frame.
+        # Winning TRIANGLE ID via masked max (see module docstring).
         cand_tid = jnp.where(at_min, tid, -1.0)
         wt = jnp.max(cand_tid, axis=0, keepdims=True)    # [1, SP] f32
-        zb = zacc[0:1, :]
-        take = (zmin <= zb) & (wt >= 0.0)
-        zacc[0:1, :] = jnp.where(take, zmin, zb)
-        wacc[0:1, :] = jnp.where(take, wt.astype(jnp.int32), wacc[0:1, :])
+
+        zmin8 = to8(zmin)
+        wt8 = to8(wt)
+        zb8 = depth_blk[:, pl.ds(lane_off, p8w)]
+        take8 = (zmin8 <= zb8) & (wt8 >= 0.0)
+        depth_blk[:, pl.ds(lane_off, p8w)] = jnp.where(take8, zmin8, zb8)
+        win_blk[:, pl.ds(lane_off, p8w)] = jnp.where(
+            take8, wt8.astype(jnp.int32), win_blk[:, pl.ds(lane_off, p8w)])
 
         if with_attrs:
             # Gather the WINNER's plane coefficients per pixel-sample and
@@ -176,23 +184,11 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             cand = jnp.where(at_min, tri_idx, -1)
             wl = jnp.max(cand, axis=0, keepdims=True)    # [1, SP] i32
+            wl8 = to8(jnp.maximum(wl, 0))
             t8_rows = [
                 jnp.concatenate([amm[r:r + 1, :]] * TILE8_H, axis=0)
                 for r in range(3)
             ]                                            # 3 x [8, ATTR_COLS]
-
-            def to8(row):
-                """[1, SP] lane row -> [8, SP/8]: 128-aligned lane slices
-                stacked along sublanes (direct reshape is an unsupported
-                shape cast)."""
-                return jnp.concatenate(
-                    [row[:, r * p8w:(r + 1) * p8w]
-                     for r in range(TILE8_H)], axis=0)
-
-            wl8 = to8(jnp.maximum(wl, 0))
-            # i1 vreg concatenation asserts in Mosaic; relayout the mask
-            # as f32 and re-threshold.
-            take8 = to8(jnp.where(take, 1.0, 0.0)) > 0.5
             # Absolute sample coordinates rebuilt directly in [8, SP/8].
             l8 = (jax.lax.broadcasted_iota(
                 jnp.int32, (TILE8_H, p8w), 0) * p8w
@@ -229,64 +225,96 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 bg = gather_coef(1, g)
                 cg = gather_coef(2, g)
                 val = ag * sx8 + bg * sy8 + cg
-                gacc[g] = jnp.where(take8, val, gacc[g])
-            gacc[ROW_DEPTH] = to8(zacc[0:1, :])
+                old = gout_blk[g * TILE8_H:(g + 1) * TILE8_H,
+                               pl.ds(lane_off, p8w)]
+                gout_blk[g * TILE8_H:(g + 1) * TILE8_H,
+                         pl.ds(lane_off, p8w)] = jnp.where(take8, val, old)
+            gout_blk[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
+                     pl.ds(lane_off, p8w)] = \
+                depth_blk[:, pl.ds(lane_off, p8w)]
 
-    def kernel(tile_map, chunk_live, first_flag, last_flag,
-               big_live, big_aabb, *refs):
+    def kernel(band_start, band_end, sub_of_chunk, big_live, big_aabb,
+               *refs):
         if with_attrs:
-            (mm_ref, amm_ref, big_ref, bigattr_ref,
-             depth_out, win_out, gout, zacc, wacc, gacc) = refs
-            accs = (zacc, wacc, gacc)
+            (chunks_hbm, attrs_hbm, big_ref, bigattr_ref,
+             depth_out, win_out, gout, cbuf, abuf, sems) = refs
+            outs = (depth_out, win_out, gout)
         else:
-            (mm_ref, big_ref, depth_out, win_out, zacc, wacc) = refs
-            accs = (zacc, wacc)
+            (chunks_hbm, big_ref, depth_out, win_out,
+             cbuf, sems) = refs
+            outs = (depth_out, win_out)
 
-        c = pl.program_id(0)
-        tile = tile_map[c]
+        b = pl.program_id(0)
+        oy = (b * tile_h).astype(jnp.float32)
 
-        @pl.when(first_flag[c] == 1)
-        def _():
-            zacc[0:1, :] = jnp.full((1, SP), clear_depth, jnp.float32)
-            wacc[0:1, :] = jnp.full((1, SP), -1, jnp.int32)
+        # Initialize the whole band once.
+        depth_out[...] = jnp.full((TILE8_H, ntx * p8w), clear_depth,
+                                  jnp.float32)
+        win_out[...] = jnp.full((TILE8_H, ntx * p8w), -1, jnp.int32)
+        if with_attrs:
+            gout[...] = jnp.zeros((GOUT_ROWS * TILE8_H, ntx * p8w),
+                                  jnp.float32)
+            gout[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H, :] = \
+                jnp.full((TILE8_H, ntx * p8w), clear_depth, jnp.float32)
+
+        s0 = band_start[b]
+        n = band_end[b] - s0
+
+        def start_dma(slot, ci):
+            pltpu.make_async_copy(
+                chunks_hbm.at[ci], cbuf.at[slot], sems.at[slot, 0]).start()
             if with_attrs:
-                gacc[...] = jnp.zeros((GOUT_ROWS, TILE8_H, p8w),
-                                      jnp.float32)
-                gacc[ROW_DEPTH] = jnp.full((TILE8_H, p8w), clear_depth,
-                                           jnp.float32)
+                pltpu.make_async_copy(
+                    attrs_hbm.at[ci], abuf.at[slot], sems.at[slot, 1]).start()
 
-        @pl.when(chunk_live[c] > 0)
+        def wait_dma(slot, ci):
+            pltpu.make_async_copy(
+                chunks_hbm.at[ci], cbuf.at[slot], sems.at[slot, 0]).wait()
+            if with_attrs:
+                pltpu.make_async_copy(
+                    attrs_hbm.at[ci], abuf.at[slot], sems.at[slot, 1]).wait()
+
+        @pl.when(n > 0)
         def _():
-            process_chunk(mm_ref[0], amm_ref[0] if with_attrs else None,
-                          tile, accs)
+            start_dma(0, s0)
 
-        @pl.when(last_flag[c] == 1)
-        def _():
-            tx = tile % ntx
-            ty = tile // ntx
-            tx0 = tx * tile_w
-            ty0 = ty * tile_h
-            for bc in range(n_big_chunks):
-                over = (
-                    (big_aabb[bc * 4 + 0] <= tx0 + tile_w)
-                    & (big_aabb[bc * 4 + 2] >= tx0)
-                    & (big_aabb[bc * 4 + 1] <= ty0 + tile_h)
-                    & (big_aabb[bc * 4 + 3] >= ty0)
-                )
+        def body(i, _):
+            ci = s0 + i
+            slot = jax.lax.rem(i, 2)
 
-                @pl.when((big_live[bc] > 0) & over)
-                def _():
+            @pl.when(i + 1 < n)
+            def _():
+                start_dma(1 - slot, ci + 1)
+
+            wait_dma(slot, ci)
+            process_chunk(cbuf[slot], abuf[slot] if with_attrs else None,
+                          sub_of_chunk[ci], oy, outs)
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+        # Big triangles: after the binned list (documented tie-break
+        # deviation), per big chunk over the subtiles its AABB overlaps.
+        y0 = b * tile_h
+        for bc in range(n_big_chunks):
+            bx0 = big_aabb[bc * 4 + 0]
+            by0 = big_aabb[bc * 4 + 1]
+            bx1 = big_aabb[bc * 4 + 2]
+            by1 = big_aabb[bc * 4 + 3]
+            overlap_y = (big_live[bc] > 0) & (by0 <= y0 + tile_h) & \
+                (by1 >= y0)
+            sx0 = jnp.clip(bx0 // tile_w, 0, ntx - 1)
+            sx1 = jnp.clip(bx1 // tile_w, 0, ntx - 1)
+
+            @pl.when(overlap_y)
+            def _(bc=bc, sx0=sx0, sx1=sx1):
+                def bbody(s, _):
                     process_chunk(
                         big_ref[bc],
                         bigattr_ref[bc] if with_attrs else None,
-                        tile, accs)
-
-            # Flush the finished tile to the (write-only) output blocks.
-            depth_out[0] = zacc[0:1, :]
-            win_out[0] = wacc[0:1, :]
-            if with_attrs:
-                for g in range(GOUT_ROWS):
-                    gout[0, g * TILE8_H:(g + 1) * TILE8_H] = gacc[g]
+                        s, oy, outs)
+                    return 0
+                jax.lax.fori_loop(sx0, sx1 + 1, bbody, 0)
 
     return kernel
 
@@ -318,54 +346,48 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                          attr_fields=attr_fields)
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
-    nt = ntx * nty
     P = tile_h * tile_w
     n_samples = len(sample_offsets)
     SP = n_samples * P
     p8w = SP // TILE8_H
-    T = setup.valid.shape[0]
-    mc = num_chunks(nt, T, span_cap)
     n_big_chunks = bins.big_chunks.shape[0]
 
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
                           clear_depth, n_big_chunks, with_attrs)
 
-    in_specs = [pl.BlockSpec((1, 3, COLS), lambda c, *refs: (c, 0, 0))]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]    # chunks stay in HBM
     operands = [bins.chunks]
     if with_attrs:
-        in_specs.append(
-            pl.BlockSpec((1, 3, ATTR_COLS), lambda c, *refs: (c, 0, 0)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         operands.append(bins.attr_chunks)
-    in_specs.append(pl.BlockSpec((n_big_chunks, 3, COLS),
-                                 lambda c, *refs: (0, 0, 0)))
+    in_specs.append(pl.BlockSpec((n_big_chunks, 4, COLS),
+                                 lambda b, *refs: (0, 0, 0)))
     operands.append(bins.big_chunks)
     if with_attrs:
-        in_specs.append(pl.BlockSpec((n_big_chunks, 3, ATTR_COLS),
-                                     lambda c, *refs: (0, 0, 0)))
+        in_specs.append(pl.BlockSpec((n_big_chunks, 4, ATTR_COLS),
+                                     lambda b, *refs: (0, 0, 0)))
         operands.append(bins.big_attr_chunks)
 
-    out_block = lambda r, w: pl.BlockSpec(
-        (1, r, w), lambda c, tile_map, *refs: (tile_map[c], 0, 0))
-    out_specs = [out_block(1, SP), out_block(1, SP)]
+    out_block = lambda r: pl.BlockSpec(
+        (None, r, ntx * p8w), lambda b, *refs: (b, 0, 0))
+    out_specs = [out_block(TILE8_H), out_block(TILE8_H)]
     out_shape = [
-        jax.ShapeDtypeStruct((nt, 1, SP), jnp.float32),
-        jax.ShapeDtypeStruct((nt, 1, SP), jnp.int32),
+        jax.ShapeDtypeStruct((nty, TILE8_H, ntx * p8w), jnp.float32),
+        jax.ShapeDtypeStruct((nty, TILE8_H, ntx * p8w), jnp.int32),
     ]
     if with_attrs:
-        out_specs.append(out_block(GOUT_ROWS * TILE8_H, p8w))
+        out_specs.append(out_block(GOUT_ROWS * TILE8_H))
         out_shape.append(jax.ShapeDtypeStruct(
-            (nt, GOUT_ROWS * TILE8_H, p8w), jnp.float32))
+            (nty, GOUT_ROWS * TILE8_H, ntx * p8w), jnp.float32))
 
-    scratch = [
-        pltpu.VMEM((1, SP), jnp.float32),
-        pltpu.VMEM((1, SP), jnp.int32),
-    ]
+    scratch = [pltpu.VMEM((2, 4, COLS), jnp.float32)]
     if with_attrs:
-        scratch.append(pltpu.VMEM((GOUT_ROWS, TILE8_H, p8w), jnp.float32))
+        scratch.append(pltpu.VMEM((2, 4, ATTR_COLS), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(mc,),
+        num_scalar_prefetch=5,
+        grid=(nty,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -376,12 +398,15 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_should_interpret(),
-    )(bins.tile_of_chunk, bins.chunk_live, bins.first_flag, bins.last_flag,
+    )(bins.band_start, bins.band_end, bins.sub_of_chunk,
       bins.big_live, bins.big_aabb, *operands)
 
-    # Unfold samples from lanes: [NT, 1, S*P] -> [S, H, W].
+    # Undo the dense [8, SP/8] per-subtile layout: sublane r, lane c of a
+    # subtile block hold flat = r*(SP/8)+c -> sample flat//P, pixel flat%P.
     def unfold(x):
-        x = x.reshape(nty, ntx, n_samples, tile_h, tile_w)
+        x = x.reshape(nty, TILE8_H, ntx, p8w)
+        x = x.transpose(0, 2, 1, 3).reshape(
+            nty, ntx, n_samples, tile_h, tile_w)
         x = x.transpose(2, 0, 3, 1, 4).reshape(
             n_samples, nty * tile_h, ntx * tile_w)
         return x[:, :height, :width]
@@ -389,11 +414,9 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     depth = unfold(outs[0])
     winner = unfold(outs[1])    # triangle ids, resolved in-kernel
     if with_attrs:
-        # [NT, 16*8, SP/8]: flat lane l = r*(SP/8)+c maps to sample l//P,
-        # pixel l%P. Undo in plain XLA.
-        g_raw = outs[2].reshape(nt, GOUT_ROWS, SP)
-        g_raw = g_raw.reshape(nty, ntx, GOUT_ROWS, n_samples,
-                              tile_h, tile_w)
+        g_raw = outs[2].reshape(nty, GOUT_ROWS, TILE8_H, ntx, p8w)
+        g_raw = g_raw.transpose(0, 3, 1, 2, 4).reshape(
+            nty, ntx, GOUT_ROWS, n_samples, tile_h, tile_w)
         gout = g_raw.transpose(3, 2, 0, 4, 1, 5).reshape(
             n_samples, GOUT_ROWS, nty * tile_h, ntx * tile_w)
         gout = gout[:, :, :height, :width]

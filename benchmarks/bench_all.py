@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""TPU benchmarks for the five BASELINE.json configs (VERDICT r1 item 4).
+
+Each config renders a FRAMES-frame batch inside one compiled program
+(lax.scan over frame parameters — the zero-host-round-trip serving
+shape; it also amortizes the axon tunnel's ~3 ms per-dispatch latency).
+Emits one JSON line per config with Mpixel/s AND Mtri/s, and writes the
+full table to benchmarks/results_r02.json.
+
+Run: python benchmarks/bench_all.py [--configs 1,2,3,4,5]
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks import configs as cfgs
+from metalrenderer_tpu.config import ShadowConfig
+from metalrenderer_tpu.passes.pipeline import render_frame
+
+FRAMES = {1: 32, 2: 16, 3: 8, 4: 16, 5: 4}
+REPS = 3
+
+
+def bench_config(idx, scene, camera, lighting, config):
+    frames = FRAMES[idx]
+
+    def one_frame(carry, disp):
+        fb, _ = render_frame(scene, camera, lighting, config,
+                             ShadowConfig(), disp,
+                             jnp.asarray([0.0, 0.0, -1.0]),
+                             backend="pallas")
+        return carry + jnp.mean(fb), None
+
+    @jax.jit
+    def run_batch(disps):
+        total, _ = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
+        return total
+
+    disps = jnp.linspace(0.0, 0.05, frames)
+    t0 = time.perf_counter()
+    total = float(run_batch(disps))          # compile + warm
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        total = float(run_batch(disps))
+        best = min(best, time.perf_counter() - t0)
+
+    n_tris = sum(int(i.mesh.positions.shape[0]) // 3
+                 for i in scene.instances)
+    fps = frames / best
+    return {
+        "config": idx,
+        "width": config.width, "height": config.height,
+        "msaa": config.msaa, "triangles": n_tris,
+        "ms_per_frame": round(best / frames * 1e3, 3),
+        "fps": round(fps, 2),
+        "mpixel_s": round(fps * config.width * config.height / 1e6, 2),
+        "mtri_s": round(fps * n_tris / 1e6, 3),
+        "compile_s": round(compile_s, 1),
+        "checksum": round(total, 4),
+    }
+
+
+BUILDERS = {
+    1: lambda: cfgs.config1_textured_cube(),
+    2: lambda: cfgs.config2_multi_mesh(),
+    3: lambda: cfgs.config3_high_poly(),
+    4: lambda: cfgs.config4_shadow_normal_map(),
+    5: lambda: cfgs.config5_animated_high_poly(),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    results = []
+    for idx in [int(c) for c in args.configs.split(",")]:
+        try:
+            scene, camera, lighting, config = BUILDERS[idx]()
+            r = bench_config(idx, scene, camera, lighting, config)
+        except Exception as e:  # report, keep benching the rest
+            r = {"config": idx, "error": str(e)[:500]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    if args.out:
+        pathlib.Path(args.out).write_text(
+            json.dumps(results, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    main()

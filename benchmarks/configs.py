@@ -21,7 +21,7 @@ from metalrenderer_tpu.config import RenderConfig
 from metalrenderer_tpu.io import textures as tex_mod
 from metalrenderer_tpu.math import transforms
 from metalrenderer_tpu.scene.camera import OrbitCamera
-from metalrenderer_tpu.scene.lights import Lighting
+from metalrenderer_tpu.scene.lights import (DirectionalLight, Lighting)
 
 
 def config1_textured_cube():
@@ -148,7 +148,12 @@ def config4_shadow_normal_map(width=1920, height=1080):
                          aspect=width / height)
     cfg = RenderConfig(width=width, height=height, msaa=4,
                        shadow_map_size=1024)
-    return scene, camera, Lighting.default(), cfg
+    # BASELINE config 4 is a shadow-mapped DIRECTIONAL light (sun).
+    lighting = Lighting(light=DirectionalLight(
+        direction=jnp.asarray([-0.45, -1.0, -0.35], jnp.float32),
+        color=jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
+        intensity=jnp.asarray(1.0, jnp.float32)))
+    return scene, camera, lighting, cfg
 
 
 def config5_animated_high_poly(target_tris=1_000_000, width=3840,

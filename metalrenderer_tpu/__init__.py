@@ -10,7 +10,7 @@ program with zero per-frame host round-trips.
 """
 
 from .config import RenderConfig, ShadowConfig
-from .scene.camera import OrbitCamera
+from .scene.camera import OrbitCamera, PoseCamera
 from .scene.lights import DirectionalLight, Lighting, PointLight
 from .scene.materials import (BLINN_PHONG, BLINN_PHONG_SHADOW, EMISSIVE,
                               Material)
@@ -21,7 +21,8 @@ from .passes.pipeline import render, render_frame
 __version__ = "0.1.0"
 
 __all__ = [
-    "RenderConfig", "ShadowConfig", "OrbitCamera", "Lighting", "PointLight",
+    "RenderConfig", "ShadowConfig", "OrbitCamera", "PoseCamera",
+    "Lighting", "PointLight",
     "DirectionalLight", "Material", "BLINN_PHONG", "BLINN_PHONG_SHADOW",
     "EMISSIVE", "Mesh", "cube", "plane", "square", "triangle", "uv_sphere",
     "Instance", "Scene", "render", "render_frame",

@@ -50,6 +50,45 @@ def audio_visual_track(samples, sample_rate,
     return a_state, v_state, params, ctxs
 
 
+def render_camera_path(scene, lighting, key_poses, frames_per_segment=8,
+                       config: RenderConfig = RenderConfig(),
+                       shadow_config: ShadowConfig = ShadowConfig(),
+                       displacement=0.0, shadow_target=(0.0, 0.0, 0.0),
+                       backend="pallas"):
+    """Camera flythrough: quaternion-slerp between key poses, one compiled
+    program for the whole sequence. Returns f32[F, H, W, 4] with
+    F = (len(key_poses) - 1) * frames_per_segment + 1.
+
+    ``key_poses``: sequence of PoseCamera (or OrbitCamera, converted via
+    .pose()). Orientation interpolates on the quaternion sphere
+    (AAPLMathUtilities.h:242 semantics) so the camera never gimbal-flips
+    between keys.
+    """
+    from ..scene.camera import PoseCamera
+
+    poses = [p if isinstance(p, PoseCamera) else p.pose() for p in key_poses]
+    if len(poses) < 2:
+        raise ValueError("need at least two key poses")
+    # Stack keys into one batched pytree; per-frame (segment, t) indices.
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *poses)
+    n_seg = len(poses) - 1
+    fps = frames_per_segment
+    idx = jnp.arange(n_seg * fps + 1)
+    seg = jnp.minimum(idx // fps, n_seg - 1)
+    t = (idx - seg * fps).astype(jnp.float32) / fps
+
+    def frame(inp):
+        s, tt = inp
+        a = jax.tree.map(lambda x: x[s], stacked)
+        b = jax.tree.map(lambda x: x[s + 1], stacked)
+        cam = a.slerp(b, tt)
+        fb, _ = render_frame(scene, cam, lighting, config, shadow_config,
+                             displacement, shadow_target, backend)
+        return fb
+
+    return jax.lax.map(frame, (seg, t))
+
+
 def render_audio_reactive_sequence(
         samples, sample_rate,
         camera=None,

@@ -10,13 +10,13 @@ implementation if the toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import pathlib
 import subprocess
 
 import numpy as np
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "libobjparser.so"
 _lib = None
 _build_failed = False
 
@@ -26,14 +26,21 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
+        # Cache keyed by source hash: a binary is only ever loaded if it
+        # was built from exactly the sources on disk (no committed blobs,
+        # no mtime races).
         src = _NATIVE_DIR / "objparser.cpp"
-        if (not _LIB_PATH.exists()
-                or _LIB_PATH.stat().st_mtime < src.stat().st_mtime):
+        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+        cache = _NATIVE_DIR / ".cache"
+        cache.mkdir(exist_ok=True)
+        lib_path = cache / f"libobjparser-{digest}.so"
+        if not lib_path.exists():
+            tmp = lib_path.with_suffix(".so.tmp")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB_PATH),
-                 str(src)],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
                 check=True, capture_output=True)
-        lib = ctypes.CDLL(str(_LIB_PATH))
+            tmp.replace(lib_path)
+        lib = ctypes.CDLL(str(lib_path))
         lib.obj_parse.restype = ctypes.c_void_p
         lib.obj_parse.argtypes = [ctypes.c_char_p]
         lib.obj_counts.restype = ctypes.c_long

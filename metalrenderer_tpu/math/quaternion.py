@@ -137,43 +137,33 @@ def to_matrix4x4(q):
 
 
 def from_matrix3x3(m):
-    """quaternion_from_matrix3x3 — Shepperd's method, branch-free via where."""
+    """quaternion_from_matrix3x3 — Shepperd's method, branch-free.
+
+    Computes all four major-component candidates (w/x/y/z) with
+    S_k = 2*sqrt(score_k) and picks the one with the largest score, which
+    keeps the divisor well away from zero for any proper rotation.
+    """
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
     tr = m00 + m11 + m22
 
-    def safe_sqrt(x):
-        return jnp.sqrt(jnp.maximum(x, 1e-20))
-
-    # Four candidate solutions; pick the numerically best.
-    qw = jnp.stack([
-        safe_sqrt(1 + tr) / 2,
-        (m21 - m12) / (4 * safe_sqrt(1 + m00 - m11 - m22) / 2 + 1e-20) / 2,
-        (m02 - m20) / (4 * safe_sqrt(1 - m00 + m11 - m22) / 2 + 1e-20) / 2,
-        (m10 - m01) / (4 * safe_sqrt(1 - m00 - m11 + m22) / 2 + 1e-20) / 2,
-    ], axis=-1)
-    qx = jnp.stack([
-        (m21 - m12) / (4 * safe_sqrt(1 + tr) / 2 + 1e-20) / 2,
-        safe_sqrt(1 + m00 - m11 - m22) / 2,
-        (m01 + m10) / (4 * safe_sqrt(1 - m00 + m11 - m22) / 2 + 1e-20) / 2,
-        (m02 + m20) / (4 * safe_sqrt(1 - m00 - m11 + m22) / 2 + 1e-20) / 2,
-    ], axis=-1)
-    qy = jnp.stack([
-        (m02 - m20) / (4 * safe_sqrt(1 + tr) / 2 + 1e-20) / 2,
-        (m01 + m10) / (4 * safe_sqrt(1 + m00 - m11 - m22) / 2 + 1e-20) / 2,
-        safe_sqrt(1 - m00 + m11 - m22) / 2,
-        (m12 + m21) / (4 * safe_sqrt(1 - m00 - m11 + m22) / 2 + 1e-20) / 2,
-    ], axis=-1)
-    qz = jnp.stack([
-        (m10 - m01) / (4 * safe_sqrt(1 + tr) / 2 + 1e-20) / 2,
-        (m02 + m20) / (4 * safe_sqrt(1 + m00 - m11 - m22) / 2 + 1e-20) / 2,
-        (m12 + m21) / (4 * safe_sqrt(1 - m00 + m11 - m22) / 2 + 1e-20) / 2,
-        safe_sqrt(1 - m00 - m11 + m22) / 2,
-    ], axis=-1)
     scores = jnp.stack([1 + tr, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22,
                         1 - m00 - m11 + m22], axis=-1)
+    s = 2.0 * jnp.sqrt(jnp.maximum(scores, 1e-20))  # [..., 4]
+    s0, s1, s2, s3 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    # Candidate quaternions, one per major component.
+    cand = jnp.stack([
+        jnp.stack([(m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0,
+                   0.25 * s0], axis=-1),
+        jnp.stack([0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1,
+                   (m21 - m12) / s1], axis=-1),
+        jnp.stack([(m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2,
+                   (m02 - m20) / s2], axis=-1),
+        jnp.stack([(m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3,
+                   (m10 - m01) / s3], axis=-1),
+    ], axis=-2)                                      # [..., 4 cand, 4 comp]
     best = jnp.argmax(scores, axis=-1)
-    take = lambda comp: jnp.take_along_axis(comp, best[..., None], axis=-1)[..., 0]
-    q = jnp.stack([take(qx), take(qy), take(qz), take(qw)], axis=-1)
+    q = jnp.take_along_axis(
+        cand, best[..., None, None].repeat(4, axis=-1), axis=-2)[..., 0, :]
     return normalize(q)

@@ -26,6 +26,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderConfig, ShadowConfig
 from ..passes.pipeline import render_frame
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class BandedCamera:
+    """Camera adapter whose projection maps one horizontal band of the
+    full frame onto the whole (band-sized) viewport.
+
+    A real pytree (unlike a duck-typed closure adapter): it can cross
+    shard_map/jit boundaries, be vmapped over ``band``, and be stored in
+    scene state. ``base`` may be any camera pytree (OrbitCamera,
+    PoseCamera).
+    """
+
+    base: object = None
+    band: jnp.ndarray = 0          # band index in [0, n_bands)
+    n_bands: int = static_field(default=1)
+
+    @property
+    def position(self):
+        return self.base.position
+
+    def view_matrix(self):
+        return self.base.view_matrix()
+
+    def projection_matrix(self):
+        p = self.base.projection_matrix()
+        # NDC y in [-1,1] maps to rows [0,H]. Band b covers NDC
+        # [1 - 2(b+1)/n, 1 - 2b/n]. Affine remap to [-1, 1]:
+        # y' = n*y - (n - 1 - 2b).
+        nf = jnp.float32(self.n_bands)
+        bf = jnp.asarray(self.band, jnp.float32)
+        row = p[1] * nf + p[3] * -(nf - 1.0 - 2.0 * bf)
+        return p.at[1].set(row)
 
 
 def make_mesh(num_devices=None, axis="batch"):
@@ -88,11 +122,10 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
     def local_band(band_index):
         # Shift the viewport: rendering rows [b*band_h, (b+1)*band_h) of
         # the full image == rendering a band_h-tall image whose screen-y
-        # is offset. We implement the offset by adjusting the camera
-        # projection with a principal-point shift.
-        b = band_index[0]
+        # is offset, via a principal-point shift in the projection.
+        cam = BandedCamera(base=camera, band=band_index[0], n_bands=n)
         fb, _ = render_frame(
-            scene, _banded_camera(camera, n, b), lighting, band_cfg,
+            scene, cam, lighting, band_cfg,
             shadow_config, displacement, shadow_target, backend)
         return fb
 
@@ -103,34 +136,3 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
     )
     out = jax.jit(shardf)(band_ids)      # [H, W, 4] row-sharded
     return out
-
-
-def _banded_camera(camera, n_bands, band):
-    """Camera whose projection maps the full-frame band ``band`` of ``n``
-    onto the whole (band-sized) viewport: y' in NDC terms."""
-
-    class _BandCam:
-        # Lightweight adapter: same interface as OrbitCamera.
-        def __init__(self, cam):
-            self._cam = cam
-
-        @property
-        def position(self):
-            return self._cam.position
-
-        def view_matrix(self):
-            return self._cam.view_matrix()
-
-        def projection_matrix(self):
-            p = self._cam.projection_matrix()
-            # NDC y in [-1,1] maps to rows [0,H]. Band b covers NDC
-            # [1 - 2(b+1)/n, 1 - 2b/n]. Affine remap to [-1, 1]:
-            # y' = n*y - (n - 1 - 2b).
-            nf = jnp.float32(n_bands)
-            bf = jnp.asarray(band, jnp.float32)
-            scale = nf
-            offset = -(nf - 1.0 - 2.0 * bf)
-            row = p[1] * scale + p[3] * offset
-            return p.at[1].set(row)
-
-    return _BandCam(camera)

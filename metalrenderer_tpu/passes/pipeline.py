@@ -113,12 +113,15 @@ def render_frame(scene: Scene, camera, lighting,
 
     geom = bake(scene, displacement)
     light = lighting.light
+    is_directional = isinstance(light, lights_mod.DirectionalLight)
+    light_anchor = lights_mod.light_anchor_position(
+        light, shadow_target, shadow_config)
     stats = {"num_triangles": jnp.asarray(geom.num_triangles, jnp.int32)}
 
     shadow_ctx = None
     if _wants_shadow(scene):
         light_view = lights_mod.light_view_matrix(
-            light.position, jnp.asarray(shadow_target, jnp.float32))
+            light_anchor, jnp.asarray(shadow_target, jnp.float32))
         light_proj = lights_mod.light_projection_matrix(shadow_config)
         clip_l = project(geom.world, light_view, light_proj)
         clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
@@ -157,7 +160,9 @@ def render_frame(scene: Scene, camera, lighting,
     r, g, b, a = shade_channels(
         channels,
         camera_pos=camera.position,
-        light_pos=light.position,
+        light_pos=light_anchor,
+        light_dir=(jnp.asarray(light.direction, jnp.float32)
+                   if is_directional else None),
         light_color=light.color,
         ambient_intensity=lighting.ambient_intensity,
         shininess=lighting.shininess,

@@ -83,8 +83,14 @@ def _rsqrt_norm3(x, y, z):
 
 
 def _blinn_phong_soa(w, n, base, camera_pos, light_pos, light_color,
-                     ambient_intensity, shininess):
-    """BlinnPhong.metal:44-57 / :66-77 in SoA channels."""
+                     ambient_intensity, shininess, light_dir=None):
+    """BlinnPhong.metal:44-57 / :66-77 in SoA channels.
+
+    ``light_dir``: if given (f32[3], pointing FROM the light), the light is
+    directional: L = -normalize(light_dir) is constant across fragments
+    (BASELINE config 4's sun light — a capability the reference's single
+    point light lacks). Otherwise L points at ``light_pos`` per fragment.
+    """
     wx, wy, wz = w
     nx, ny, nz = n
     vx = camera_pos[0] - wx
@@ -92,11 +98,16 @@ def _blinn_phong_soa(w, n, base, camera_pos, light_pos, light_color,
     vz = camera_pos[2] - wz
     inv = _rsqrt_norm3(vx, vy, vz)
     vx, vy, vz = vx * inv, vy * inv, vz * inv
-    lx = light_pos[0] - wx
-    ly = light_pos[1] - wy
-    lz = light_pos[2] - wz
-    inv = _rsqrt_norm3(lx, ly, lz)
-    lx, ly, lz = lx * inv, ly * inv, lz * inv
+    if light_dir is not None:
+        inv = _rsqrt_norm3(light_dir[0], light_dir[1], light_dir[2])
+        lx, ly, lz = (-light_dir[0] * inv, -light_dir[1] * inv,
+                      -light_dir[2] * inv)
+    else:
+        lx = light_pos[0] - wx
+        ly = light_pos[1] - wy
+        lz = light_pos[2] - wz
+        inv = _rsqrt_norm3(lx, ly, lz)
+        lx, ly, lz = lx * inv, ly * inv, lz * inv
     hx, hy, hz = lx + vx, ly + vy, lz + vz
     inv = _rsqrt_norm3(hx, hy, hz)
     hx, hy, hz = hx * inv, hy * inv, hz * inv
@@ -303,7 +314,7 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
                    shadow_ctx: ShadowContext = None, textures=(),
                    shadow_bias=0.005, shadow_factor_value=0.5,
                    tiled_sampler=False, shadow_per_pixel=True,
-                   return_planes=False):
+                   return_planes=False, light_dir=None):
     """Full fragment stage over SoA channel planes -> f32[..., 4] RGBA.
 
     ``ch``: dict of full-width planes (each [S, H, W] or broadcastable):
@@ -328,8 +339,10 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
     base = _resolve_base_color_soa(base, ch["texid"], u, v, textures,
                                    tiled_sampler)
 
+    if light_dir is not None:
+        light_dir = jnp.asarray(light_dir, jnp.float32)
     lit = _blinn_phong_soa(w, n, base, camera_pos, light_pos, light_color,
-                           ambient_intensity, shininess)
+                           ambient_intensity, shininess, light_dir)
     emissive = ch["kind"] == EMISSIVE
     r = jnp.where(emissive, base[0], lit[0])
     g = jnp.where(emissive, base[1], lit[1])

@@ -1,17 +1,23 @@
-"""Pure-functional orbit camera.
+"""Pure-functional cameras.
 
-Counterpart of Camera.{hpp,cpp}: spherical coordinates (radius/theta/phi)
-around a target, phi clamped near the poles (Camera.cpp:17-21), mouse-drag
-rotation (Camera.cpp:33-38), scroll dolly with a minimum radius
-(Camera.cpp:41-46), and a right-handed look-at view matrix
-(Camera.cpp:52-71). Interaction state lives in the (immutable) dataclass;
-update functions return new cameras.
+``OrbitCamera`` is the counterpart of Camera.{hpp,cpp}: spherical
+coordinates (radius/theta/phi) around a target, phi clamped near the poles
+(Camera.cpp:17-21), mouse-drag rotation (Camera.cpp:33-38), scroll dolly
+with a minimum radius (Camera.cpp:41-46), and a right-handed look-at view
+matrix (Camera.cpp:52-71). Interaction state lives in the (immutable)
+dataclass; update functions return new cameras.
+
+``PoseCamera`` is a free camera posed by position + unit quaternion
+(camera-to-world), built on the quaternion suite that mirrors the
+reference's AAPLMathUtilities.h:190-266. Poses interpolate smoothly
+(slerp), which is what camera flythroughs
+(engine.renderer.render_camera_path) are made of.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..math import transforms
+from ..math import quaternion, transforms
 from ..utils.pytree import pytree_dataclass
 
 _PHI_EPS = 0.001           # Camera.cpp:19
@@ -82,3 +88,73 @@ class OrbitCamera:
 
     def with_aspect(self, aspect):
         return self.replace(aspect=aspect)
+
+    def pose(self) -> "PoseCamera":
+        """This orbit pose as a free PoseCamera (quaternion orientation)."""
+        return PoseCamera.from_view_matrix(
+            self.view_matrix(), self.position,
+            fov_degrees=self.fov_degrees, near=self.near, far=self.far,
+            aspect=self.aspect)
+
+
+@pytree_dataclass
+class PoseCamera:
+    """Free camera: world position + camera-to-world unit quaternion.
+
+    The view matrix is the inverse rigid transform: rows are the camera
+    basis vectors (world-to-camera rotation) with translation -R^T p —
+    the same matrix structure look_at_rh builds (Camera.cpp:52-71), but
+    parameterized so that poses compose and interpolate (quaternion
+    slerp, AAPLMathUtilities.h:242).
+    """
+
+    position: jnp.ndarray = (0.0, 0.0, 2.0)
+    orientation: jnp.ndarray = (0.0, 0.0, 0.0, 1.0)  # (x, y, z, w)
+    fov_degrees: jnp.ndarray = 45.0
+    near: jnp.ndarray = 0.01
+    far: jnp.ndarray = 100.0
+    aspect: jnp.ndarray = 1.0
+
+    @staticmethod
+    def from_view_matrix(view, position, **kw):
+        """Recover the pose from a world-to-camera view matrix."""
+        r_c2w = jnp.asarray(view, jnp.float32)[:3, :3].T
+        return PoseCamera(
+            position=jnp.asarray(position, jnp.float32),
+            orientation=quaternion.from_matrix3x3(r_c2w), **kw)
+
+    def view_matrix(self):
+        q = quaternion.normalize(
+            jnp.asarray(self.orientation, jnp.float32))
+        r_w2c = quaternion.to_matrix3x3(q).T
+        p = jnp.asarray(self.position, jnp.float32)
+        t = -(r_w2c @ p)
+        m = jnp.eye(4, dtype=jnp.float32)
+        m = m.at[:3, :3].set(r_w2c)
+        m = m.at[:3, 3].set(t)
+        return m
+
+    def projection_matrix(self):
+        fov = jnp.asarray(self.fov_degrees, jnp.float32) * (jnp.pi / 180.0)
+        return transforms.perspective_rh(fov, self.aspect, self.near,
+                                         self.far)
+
+    def slerp(self, other: "PoseCamera", t):
+        """Interpolated pose: slerp on orientation, lerp on everything
+        else. t=0 -> self, t=1 -> other; t may be a traced scalar."""
+        t = jnp.asarray(t, jnp.float32)
+
+        def lerp(a, b):
+            return (1.0 - t) * jnp.asarray(a, jnp.float32) + \
+                t * jnp.asarray(b, jnp.float32)
+
+        return PoseCamera(
+            position=lerp(self.position, other.position),
+            orientation=quaternion.slerp(
+                jnp.asarray(self.orientation, jnp.float32),
+                jnp.asarray(other.orientation, jnp.float32), t),
+            fov_degrees=lerp(self.fov_degrees, other.fov_degrees),
+            near=lerp(self.near, other.near),
+            far=lerp(self.far, other.far),
+            aspect=lerp(self.aspect, other.aspect),
+        )

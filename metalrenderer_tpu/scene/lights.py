@@ -46,6 +46,23 @@ class Lighting:
         ))
 
 
+def light_anchor_position(light, shadow_target,
+                          shadow: ShadowConfig = ShadowConfig()):
+    """World position anchoring the shadow pass's light view.
+
+    Point lights use their own position (mtl_engine.mm:668). A directional
+    light is at infinity; its shadow camera sits along -direction from the
+    target at mid-ortho-depth, so casters near the target land inside the
+    [near, far] depth range of the ortho volume.
+    """
+    shadow_target = jnp.asarray(shadow_target, jnp.float32)
+    if isinstance(light, DirectionalLight):
+        d = transforms.normalize(jnp.asarray(light.direction, jnp.float32))
+        standoff = 0.5 * (shadow.near + shadow.far)
+        return shadow_target - d * standoff
+    return jnp.asarray(light.position, jnp.float32)
+
+
 def adaptive_up(forward):
     """Pick a world-up axis from the smallest |forward| component, exactly
     reproducing the if-chain at mtl_engine.mm:672-683."""

@@ -99,13 +99,17 @@ void* obj_parse(const char* path) {
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(size + 1);
+  // +2: trailing '\n' ends a final unterminated line, trailing '\0' stops
+  // strtof/strtol (which treat '\n' as skippable whitespace) from reading
+  // past the buffer when that final line ends mid-record.
+  std::vector<char> buf(size + 2);
   if (fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
     fclose(f);
     return nullptr;
   }
   fclose(f);
   buf[size] = '\n';
+  buf[size + 1] = '\0';
 
   std::vector<float> vs, ts, ns;
   vs.reserve(1 << 16);

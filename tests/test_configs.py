@@ -5,6 +5,7 @@ import pathlib
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
                        / "benchmarks"))
@@ -12,6 +13,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
 import configs  # noqa: E402
 import metalrenderer_tpu as mr  # noqa: E402
 from metalrenderer_tpu.config import RenderConfig  # noqa: E402
+
+# ~6.5 min of interpret-mode Pallas renders on CPU: slow tier.
+pytestmark = pytest.mark.slow
 
 
 def _small(cfg, w=128, h=96, msaa=1):

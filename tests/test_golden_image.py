@@ -4,6 +4,7 @@ snapshot for BOTH backends (the BASELINE.json correctness bar)."""
 import pathlib
 
 import numpy as np
+import pytest
 
 from metalrenderer_tpu.config import RenderConfig
 from metalrenderer_tpu.engine import audio_app
@@ -32,6 +33,7 @@ def test_reference_matches_golden():
     assert _psnr(fb, golden) >= 40.0
 
 
+@pytest.mark.slow  # interpret-mode Pallas at 160x120 MSAA4: minutes on CPU
 def test_pallas_matches_golden():
     golden = png.read_png(GOLDEN).astype(np.float32) / 255.0
     fb = _render("pallas")

@@ -44,19 +44,26 @@ def test_frame_batch_dp_matches_single_device():
                                atol=1e-4)
 
 
-def test_frame_batch_dp_pallas_backend():
-    w, h = 64, 64
+@pytest.mark.slow  # ~1 min of interpret-mode Pallas compiles on CPU
+def test_frame_batch_dp_pallas_matches_single_device():
+    """Sharded Pallas rendering must EQUAL the unsharded Pallas render
+    (not merely be finite) — the actual DP-correctness property."""
+    w, h = 64, 32
     scene, cam, lighting = _scene_bits(w, h)
     cfg = RenderConfig(width=w, height=h, msaa=1, shadow_map_size=64)
-    mesh = make_mesh(8)
-    disps = jnp.linspace(0.0, 0.2, 8)
-    thetas = jnp.linspace(2.3, 2.7, 8)
+    mesh = make_mesh(4)
+    disps = jnp.array([0.0, 0.05, 0.1, 0.2], jnp.float32)
+    thetas = jnp.array([2.3, 2.45, 2.6, 2.75], jnp.float32)
     fbs = render_frame_batch(scene, cam, lighting, disps, thetas, mesh,
                              cfg, ShadowConfig(),
                              shadow_target=(0.0, 0.0, -1.0),
                              backend="pallas")
-    assert fbs.shape == (8, h, w, 4)
-    assert np.isfinite(np.asarray(fbs)).all()
+    assert fbs.shape == (4, h, w, 4)
+    fb1, _ = render_frame(scene, cam.replace(theta=2.45), lighting, cfg,
+                          ShadowConfig(), 0.05, (0.0, 0.0, -1.0),
+                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(fbs[1]), np.asarray(fb1),
+                               atol=1e-4)
 
 
 def test_tile_sharded_single_frame_matches_unsharded():
@@ -71,6 +78,38 @@ def test_tile_sharded_single_frame_matches_unsharded():
     fb_ref, _ = render_frame(scene, cam, lighting, cfg, ShadowConfig(),
                              0.0, (0.0, 0.0, -1.0), backend="reference")
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_ref), atol=1e-4)
+
+
+@pytest.mark.slow  # ~1 min of interpret-mode Pallas compiles on CPU
+def test_tile_sharded_pallas_matches_unsharded():
+    """Band-sharded Pallas raster == full-frame Pallas raster; exercises
+    the BandedCamera principal-point shift through the production kernel."""
+    w, h = 128, 32
+    scene, cam, lighting = _scene_bits(w, h)
+    cfg = RenderConfig(width=w, height=h, msaa=1, shadow_map_size=64)
+    mesh = make_mesh(4)
+    fb = render_tile_sharded(scene, cam, lighting, mesh, cfg,
+                             ShadowConfig(), displacement=0.0,
+                             shadow_target=(0.0, 0.0, -1.0),
+                             backend="pallas")
+    fb_ref, _ = render_frame(scene, cam, lighting, cfg, ShadowConfig(),
+                             0.0, (0.0, 0.0, -1.0), backend="pallas")
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_ref), atol=1e-4)
+
+
+def test_banded_camera_is_a_pytree():
+    from metalrenderer_tpu.parallel.sharding import BandedCamera
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    bc = BandedCamera(base=cam, band=jnp.int32(1), n_bands=4)
+    leaves, treedef = jax.tree.flatten(bc)
+    bc2 = jax.tree.unflatten(treedef, leaves)
+    np.testing.assert_allclose(np.asarray(bc2.projection_matrix()),
+                               np.asarray(bc.projection_matrix()))
+    # vmappable over bands
+    projs = jax.vmap(
+        lambda b: BandedCamera(base=cam, band=b, n_bands=4)
+        .projection_matrix())(jnp.arange(4))
+    assert projs.shape == (4, 4, 4)
 
 
 def test_graft_entry_dryrun():

@@ -74,8 +74,10 @@ def test_non_tile_aligned_resolution():
 
 def test_audio_app_pallas_backend_bit_exact():
     """Full two-pass pipeline: pallas backend == reference backend."""
-    cfg = RenderConfig(width=160, height=120, msaa=4, shadow_map_size=128)
-    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=160 / 120)
+    # 96x72 exercises every code path 160x120 did (tile alignment, MSAA,
+    # shadow sampling) at ~1/3 the interpret-mode cost (VERDICT r1 item 8).
+    cfg = RenderConfig(width=96, height=72, msaa=4, shadow_map_size=128)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=96 / 72)
     fb_ref, _ = audio_app.render_audio_app(config=cfg, camera=cam,
                                            backend="reference")
     fb_pal, _ = audio_app.render_audio_app(config=cfg, camera=cam,

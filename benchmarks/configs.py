@@ -126,7 +126,7 @@ def config4_shadow_normal_map(width=1920, height=1080):
     nm01 = ((nm + 1) / 2).astype(np.float32)
     nm_tex = tex_mod.from_array(
         np.concatenate([nm01, np.ones((n, n, 1), np.float32)], -1),
-        generate_mips=False)
+        generate_mips=True)
 
     scene = mr.Scene(
         instances=(

@@ -155,7 +155,10 @@ def _shadow_factor_soa(w, shadow_ctx: ShadowContext, bias, factor,
     shadow_depth = lz * inv_w * 0.5 + 0.5    # reference depth remap quirk
     in_bounds = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
     # oob_value=1.0: pixels outside their tile's sampling window read far
-    # depth -> lit (never phantom-shadowed).
+    # depth -> lit (never phantom-shadowed). The depth map keeps the
+    # 136-row-window sampler: a single-level pyramid window (32 rows)
+    # fails at low resolutions where per-pixel shadow-uv steps are large,
+    # and depth has no mip chain to escalate into.
     d = _sample2d(shadow_ctx.depth_map, u, v, sampling.REPEAT,
                   tiled_sampler, oob_value=1.0)
     shadowed = (shadow_depth - bias) > d
@@ -181,34 +184,26 @@ def _texture_lod(u, v, tex_w, tex_h):
         du_dx, dv_dx, du_dy, dv_dy, tex_w, tex_h)
 
 
-def _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps):
+def _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps, mask=None):
     """Texture RGB in SoA channels.
 
-    Mipmapping (config 3): the gather-free tiled path picks the nearest
-    mip level per pixel (bilinear within the level); the reference path
-    uses full trilinear. The ladder is capped at 6 levels — beyond that
-    the pixels are at extreme minification where mip-nearest error is
-    invisible and each extra level costs 3 sampler launches.
+    The tiled (production) path runs mip_pallas.sample_pyramid_tiled: ONE
+    kernel launch per texture resolving all channels, mip levels (true
+    TRILINEAR — Metal's linear-mip sampler, mtl_engine.mm:603-612) and
+    MSAA sample grids; ``mask`` limits work to the pixels that consume
+    this texture. The reference path is the XLA-gather golden oracle.
     """
     n_levels = len(mips)
     if tiled_sampler:
+        from .mip_pallas import sample_pyramid_tiled
         if use_mipmaps and n_levels > 1:
             lod = _texture_lod(u, v, mips[0].shape[1], mips[0].shape[0])
-            max_level = min(n_levels, 6) - 1
-            level = jnp.clip(jnp.rint(lod).astype(jnp.int32), 0, max_level)
-            out = None
-            for li, mip in enumerate(mips[:max_level + 1]):
-                chans = tuple(_sample2d(mip[..., c], u, v, sampling.REPEAT,
-                                        True) for c in range(3))
-                if out is None:
-                    out = chans
-                else:
-                    sel = level == li
-                    out = tuple(jnp.where(sel, chans[c], out[c])
-                                for c in range(3))
-            return out
-        return tuple(_sample2d(mips[0][..., c], u, v, sampling.REPEAT, True)
-                     for c in range(3))
+        else:
+            lod = jnp.zeros_like(u)
+            mips = mips[:1]
+        if mask is None:
+            mask = jnp.ones(u.shape, bool)
+        return sample_pyramid_tiled(mips, u, v, lod, mask, sampling.REPEAT)
     if use_mipmaps and n_levels > 1:
         lod = _texture_lod(u, v, mips[0].shape[1], mips[0].shape[0])
         t = sampling.sample_trilinear(mips, u, v, lod)
@@ -220,8 +215,8 @@ def _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps):
 def _resolve_base_color_soa(base, tex_id, u, v, textures, tiled_sampler,
                             use_mipmaps=True):
     for i, mips in enumerate(textures):
-        tex = _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps)
         sel = tex_id == i
+        tex = _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps, mask=sel)
         base = tuple(jnp.where(sel, tex[c], base[c]) for c in range(3))
     return base
 
@@ -278,12 +273,20 @@ def _apply_normal_maps_soa(w, n, u, v, covered, textures, normal_map_ids,
 
     out = n
     for i, mips in enumerate(textures):
-        if tiled_sampler:
-            m0 = _sample2d(mips[0][..., 0], u, v, sampling.REPEAT, True)
-            m1 = _sample2d(mips[0][..., 1], u, v, sampling.REPEAT, True)
-            m2 = _sample2d(mips[0][..., 2], u, v, sampling.REPEAT, True)
+        use = (normal_map_ids == i) & covered
+        # Normal maps are mip-sampled like color textures (both paths):
+        # LOD-matched footprints keep the tiled sampler's windows valid
+        # and avoid normal aliasing at minification.
+        if len(mips) > 1:
+            lod = _texture_lod(u, v, mips[0].shape[1], mips[0].shape[0])
         else:
-            t = sampling.sample_bilinear(mips[0], u, v)
+            lod = jnp.zeros_like(u)
+        if tiled_sampler:
+            from .mip_pallas import sample_pyramid_tiled
+            m0, m1, m2 = sample_pyramid_tiled(
+                mips, u, v, lod, use, sampling.REPEAT)
+        else:
+            t = sampling.sample_trilinear(mips, u, v, lod)
             m0, m1, m2 = t[..., 0], t[..., 1], t[..., 2]
         m0 = m0 * 2.0 - 1.0
         m1 = m1 * 2.0 - 1.0

@@ -52,7 +52,12 @@ VIS_FIELDS = 17
 ATTR_GROUPS = 15
 ATTR_GROUPS_PADDED = 16
 ATTR_COLS = CHUNK * ATTR_GROUPS_PADDED  # 512
-ATTR_FIELDS = ATTR_GROUPS * 3           # 45
+# Attr fields are stored COMP-MAJOR and group-padded per triangle
+# ([A-row groups | B-row groups | C-row groups], 16 groups each): chunk
+# assembly is then one contiguous [CHUNK, 48] block transpose instead of
+# a minor-dim-3 relayout (which XLA fuses with the slot gather into a
+# serialized mess — measured 47 ms/frame at 100k tris before this).
+ATTR_FIELDS = ATTR_GROUPS_PADDED * 3    # 48
 # gout row indices for the kernel/consumers:
 ROW_WORLD = 0
 ROW_UV = 3
@@ -105,10 +110,15 @@ def build_attr_fields(setup: TriangleSetup, pg) -> jnp.ndarray:
         pg.mat_color[:, 0], pg.mat_color[:, 1], pg.mat_color[:, 2],
         pg.normal_map_id.astype(jnp.float32),
     ], axis=1)                                       # [T, 6]
-    const_planes = consts[:, :, None] * iw[:, None, :]  # [T, 5, 3]
+    const_planes = consts[:, :, None] * iw[:, None, :]  # [T, 6, 3]
     all_planes = jnp.concatenate(
         [ap, iw[:, None, :], const_planes], axis=1)  # [T, 15, 3]
-    return all_planes.reshape(-1, ATTR_FIELDS)
+    t = all_planes.shape[0]
+    padded = jnp.concatenate(
+        [all_planes,
+         jnp.zeros((t, ATTR_GROUPS_PADDED - ATTR_GROUPS, 3), jnp.float32)],
+        axis=1)                                      # [T, 16, 3]
+    return padded.transpose(0, 2, 1).reshape(t, ATTR_FIELDS)  # comp-major
 
 
 def _fields_to_chunks(fields_padded):
@@ -131,14 +141,12 @@ def _fields_to_chunks(fields_padded):
 
 
 def _attr_fields_to_chunks(attr_padded):
-    """[N*CHUNK, 42] -> attribute matmul operand [N, 3, ATTR_COLS]."""
+    """[N*CHUNK, 48] comp-major -> attribute operand [N, 4, ATTR_COLS]."""
     n = attr_padded.shape[0] // CHUNK
-    r = attr_padded.reshape(n, CHUNK, ATTR_GROUPS, 3)
-    pad = jnp.zeros((n, CHUNK, ATTR_GROUPS_PADDED - ATTR_GROUPS, 3),
-                    jnp.float32)
-    r = jnp.concatenate([r, pad], axis=2)            # [N, CHUNK, 16, 3]
-    # -> [N, 4, 16*CHUNK] with group-major lanes (row 3 = DMA-tiling pad).
-    rows3 = r.transpose(0, 3, 2, 1).reshape(n, 3, ATTR_COLS)
+    r = attr_padded.reshape(n, CHUNK, ATTR_FIELDS)
+    # One contiguous block transpose: [N, CHUNK, 3*16] -> [N, 3*16, CHUNK]
+    # -> rows (comp), lanes (group-major * CHUNK). Row 3 = DMA-tiling pad.
+    rows3 = r.transpose(0, 2, 1).reshape(n, 3, ATTR_COLS)
     return jnp.concatenate(
         [rows3, jnp.zeros((n, 1, ATTR_COLS), jnp.float32)], axis=1)
 

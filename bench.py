@@ -41,27 +41,30 @@ def main():
     scene = audio_app.build_scene()
     lighting = Lighting.default()
 
-    def one_frame(carry, disp):
-        fb, _ = render_frame(scene, camera, lighting, config, ShadowConfig(),
-                             disp, jnp.asarray([0.0, 0.0, -1.0]),
-                             backend="pallas")
-        # Carry a rolling checksum; return per-frame means so the scan's
-        # stacked output stays small (full frames would be 16 MB each).
-        return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
-
+    # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
+    # large device arrays embeds them as HLO constants, which this
+    # platform's remote compile helper chokes on at scale.
     @jax.jit
-    def run_batch(disps):
+    def run_batch(scene, camera, lighting, disps):
+        def one_frame(carry, disp):
+            fb, _ = render_frame(scene, camera, lighting, config,
+                                 ShadowConfig(), disp,
+                                 jnp.asarray([0.0, 0.0, -1.0]),
+                                 backend="pallas")
+            # Rolling checksum; per-frame means keep the stacked output
+            # small (full frames would be 16 MB each).
+            return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
         total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
         return total, means
 
     disps = jnp.linspace(0.0, 0.05, FRAMES)
-    total, means = run_batch(disps)       # compile + warm
+    total, means = run_batch(scene, camera, lighting, disps)
     jax.block_until_ready((total, means))
 
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        total, means = run_batch(disps)
+        total, means = run_batch(scene, camera, lighting, disps)
         jax.block_until_ready((total, means))
         best = min(best, time.perf_counter() - t0)
 

@@ -31,26 +31,27 @@ REPS = 3
 def bench_config(idx, scene, camera, lighting, config):
     frames = FRAMES[idx]
 
-    def one_frame(carry, disp):
-        fb, _ = render_frame(scene, camera, lighting, config,
-                             ShadowConfig(), disp,
-                             jnp.asarray([0.0, 0.0, -1.0]),
-                             backend="pallas")
-        return carry + jnp.mean(fb), None
-
+    # Scene as a jit ARGUMENT (not a closure): captured device arrays
+    # become HLO constants, which blow up remote compiles at 1M tris.
     @jax.jit
-    def run_batch(disps):
+    def run_batch(scene, camera, lighting, disps):
+        def one_frame(carry, disp):
+            fb, _ = render_frame(scene, camera, lighting, config,
+                                 ShadowConfig(), disp,
+                                 jnp.asarray([0.0, 0.0, -1.0]),
+                                 backend="pallas")
+            return carry + jnp.mean(fb), None
         total, _ = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
         return total
 
     disps = jnp.linspace(0.0, 0.05, frames)
     t0 = time.perf_counter()
-    total = float(run_batch(disps))          # compile + warm
+    total = float(run_batch(scene, camera, lighting, disps))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        total = float(run_batch(disps))
+        total = float(run_batch(scene, camera, lighting, disps))
         best = min(best, time.perf_counter() - t0)
 
     n_tris = sum(int(i.mesh.positions.shape[0]) // 3

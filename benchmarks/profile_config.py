@@ -35,8 +35,8 @@ def checksum(tree):
                if hasattr(x, "astype"))
 
 
-def build_stage_fn(stage, scene, camera, lighting, config):
-    def frame(disp):
+def build_stage_fn(stage, camera, lighting, config):
+    def frame(scene, disp):
         geom = bake(scene, disp)
         view = camera.view_matrix()
         proj = camera.projection_matrix()
@@ -107,22 +107,22 @@ def main():
     results = {}
     prev = 0.0
     for stage in stages:
-        frame = build_stage_fn(stage, scene, camera, lighting, config)
+        frame = build_stage_fn(stage, camera, lighting, config)
 
         @jax.jit
-        def run(disps, frame=frame):
+        def run(scene, disps, frame=frame):
             def step(c, d):
-                return c + frame(d), None
+                return c + frame(scene, d), None
             tot, _ = jax.lax.scan(step, jnp.float32(0.0), disps)
             return tot
 
         t0 = time.perf_counter()
-        run(disps).block_until_ready()
+        run(scene, disps).block_until_ready()
         compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            run(disps).block_until_ready()
+            run(scene, disps).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         ms = best / args.frames * 1e3
         results[stage] = {"cum_ms": round(ms, 3),

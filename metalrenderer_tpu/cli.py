@@ -82,6 +82,41 @@ def cmd_audioapp(args):
     print(f"wrote {frames.shape[0]} frames to {out}", file=sys.stderr)
 
 
+def cmd_flythrough(args):
+    """Quaternion-slerp camera flythrough of the AudioApp scene: key
+    orbit poses -> PoseCamera path -> one compiled program for the whole
+    sequence (engine.renderer.render_camera_path)."""
+    from .config import RenderConfig
+    from .engine import audio_app
+    from .engine.renderer import render_camera_path
+    from .io import png
+    from .scene.camera import OrbitCamera
+    from .scene.lights import Lighting
+
+    cfg = RenderConfig(width=args.width, height=args.height, msaa=args.msaa,
+                       shadow_map_size=args.shadow_map_size)
+    aspect = args.width / args.height
+    keys = []
+    for spec in args.pose:
+        r, t, p_ = (float(x) for x in spec.split(","))
+        keys.append(OrbitCamera(radius=r, theta=t, phi=p_, aspect=aspect))
+    if len(keys) < 2:
+        raise SystemExit("--pose must be given at least twice (r,theta,phi)")
+    scene = audio_app.build_scene(cube_position=tuple(args.cube_pos),
+                                  light_position=tuple(args.light_pos))
+    frames = render_camera_path(
+        scene, Lighting.default(), keys,
+        frames_per_segment=args.frames_per_segment, config=cfg,
+        displacement=args.displacement,
+        shadow_target=tuple(args.cube_pos), backend=args.backend)
+    out = pathlib.Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    frames = np.asarray(frames)
+    for i in range(frames.shape[0]):
+        png.write_png(out / f"fly_{i:05d}.png", frames[i])
+    print(f"wrote {frames.shape[0]} frames to {out}", file=sys.stderr)
+
+
 def cmd_analyze(args):
     """Telemetry parity with the ImGui overlay (mtl_engine.mm:880-933):
     RMS, rolling average, band energies, pitch + confidence, and the

@@ -82,23 +82,26 @@ def render_frame_batch(scene, camera, lighting, displacements, thetas,
     displacements = jnp.asarray(displacements, jnp.float32)
     thetas = jnp.asarray(thetas, jnp.float32)
 
-    def one(args):
-        disp, theta = args
-        cam = camera.replace(theta=theta)
-        fb, _ = render_frame(scene, cam, lighting, config, shadow_config,
-                             disp, shadow_target, backend)
-        return fb
-
-    def local(disp_shard, theta_shard):
+    def local(scene, camera, lighting, disp_shard, theta_shard):
+        def one(args):
+            disp, theta = args
+            cam = camera.replace(theta=theta)
+            fb, _ = render_frame(scene, cam, lighting, config,
+                                 shadow_config, disp, shadow_target,
+                                 backend)
+            return fb
         return jax.lax.map(one, (disp_shard, theta_shard))
 
+    # Scene/camera/lighting ride as REPLICATED shard_map arguments (not
+    # closures): captured device arrays embed as HLO constants, which
+    # the remote compile path chokes on at 1M-triangle scales.
     shardf = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("batch"), P("batch")),
+        in_specs=(P(), P(), P(), P("batch"), P("batch")),
         out_specs=P("batch"),
         check_vma=False,  # scan carries inside the raster are unvarying
     )
-    return jax.jit(shardf)(displacements, thetas)
+    return jax.jit(shardf)(scene, camera, lighting, displacements, thetas)
 
 
 def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
@@ -119,7 +122,7 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
     band_h = config.height // n
     band_cfg = config.replace(height=band_h)
 
-    def local_band(band_index):
+    def local_band(scene, camera, lighting, band_index):
         # Shift the viewport: rendering rows [b*band_h, (b+1)*band_h) of
         # the full image == rendering a band_h-tall image whose screen-y
         # is offset, via a principal-point shift in the projection.
@@ -131,8 +134,9 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
 
     band_ids = jnp.arange(n, dtype=jnp.int32)
     shardf = jax.shard_map(
-        local_band, mesh=mesh, in_specs=(P("batch"),), out_specs=P("batch"),
+        local_band, mesh=mesh,
+        in_specs=(P(), P(), P(), P("batch")), out_specs=P("batch"),
         check_vma=False,
     )
-    out = jax.jit(shardf)(band_ids)      # [H, W, 4] row-sharded
-    return out
+    out = jax.jit(shardf)(scene, camera, lighting, band_ids)
+    return out                           # [H, W, 4] row-sharded

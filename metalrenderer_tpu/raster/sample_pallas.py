@@ -20,8 +20,15 @@ Out-of-window coordinates clamp to the window border — correct whenever a
 tile's texture footprint fits 254x126 texels, a mip-style fallback for the
 rare extreme-anisotropy tiles (horizon pixels).
 
-Used for the shadow-map test (BlinnPhong.metal:91) and color texture
-sampling (Texture.cpp path).
+Since round 2 this kernel serves ONLY the shadow-map test
+(BlinnPhong.metal:91); color textures and normal maps use the batched
+pyramid sampler (mip_pallas.py), which also fixes the REPEAT-seam
+limitation below. Known limitation kept here (r1 advice): in repeat mode
+a bilinear footprint straddling u=1 cannot reach the wrapped texel at
+x=0 for textures above the tile-up threshold and border-clamps instead.
+Shadow lookups are gated to uv in [0,1] (out-of-bounds fragments are
+fully lit per BlinnPhong.metal:84-90), so only the exact u==1 edge can
+graze it — visually nil for depth compares.
 """
 from __future__ import annotations
 

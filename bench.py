@@ -26,6 +26,7 @@ from metalrenderer_tpu.engine import audio_app
 from metalrenderer_tpu.scene.camera import OrbitCamera
 from metalrenderer_tpu.scene.lights import Lighting
 from metalrenderer_tpu.passes.pipeline import render_frame
+from metalrenderer_tpu.utils import profiling
 
 WIDTH, HEIGHT = 1920, 1080
 TARGET_MPIX_S = 1000.0  # north star: 1 Gpixel shaded/s/chip
@@ -61,12 +62,16 @@ def main():
     total, means = run_batch(scene, camera, lighting, disps)
     jax.block_until_ready((total, means))
 
+    if "--trace" in sys.argv:
+        with profiling.device_trace() as d:
+            jax.block_until_ready(run_batch(scene, camera, lighting, disps))
+        print(f"# trace written to {d}", file=sys.stderr)
+
     best = float("inf")
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        total, means = run_batch(scene, camera, lighting, disps)
-        jax.block_until_ready((total, means))
-        best = min(best, time.perf_counter() - t0)
+        sec, (total, means) = profiling.timed(
+            run_batch, scene, camera, lighting, disps, iters=1, warmup=0)
+        best = min(best, sec)
 
     fps = FRAMES / best
     mpix_s = fps * WIDTH * HEIGHT / 1e6

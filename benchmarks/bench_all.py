@@ -24,7 +24,7 @@ from benchmarks import configs as cfgs
 from metalrenderer_tpu.config import ShadowConfig
 from metalrenderer_tpu.passes.pipeline import render_frame
 
-FRAMES = {1: 32, 2: 16, 3: 8, 4: 16, 5: 4}
+FRAMES = {1: 32, 2: 16, 3: 8, 4: 16, 5: 2}
 REPS = 3
 
 
@@ -75,7 +75,12 @@ BUILDERS = {
     2: lambda: cfgs.config2_multi_mesh(),
     3: lambda: cfgs.config3_high_poly(),
     4: lambda: cfgs.config4_shadow_normal_map(),
-    5: lambda: cfgs.config5_animated_high_poly(),
+    # Full 1M @ 4K compiles (prep: 694 s) but the whole-pipeline XLA
+    # compile exceeds this platform's practical window (>50 min through
+    # the remote compile helper); benched at the largest size that
+    # compiles in-session per VERDICT r1 item 4.
+    5: lambda: cfgs.config5_animated_high_poly(
+        target_tris=500_000, width=2560, height=1440),
 }
 
 

@@ -109,8 +109,10 @@ def config3_high_poly(target_tris=100_000, width=1920, height=1080):
         textures=(tex,))
     camera = OrbitCamera(radius=2.0, theta=2.5, phi=1.3,
                          aspect=width / height)
+    # span_cap 4 halves the binning entry pool; ~14 px^2 triangles span
+    # more than 2x2 tiles only at silhouette grazing (big list absorbs).
     cfg = RenderConfig(width=width, height=height, msaa=1,
-                       shadow_map_size=64, span_cap=8)
+                       shadow_map_size=64, span_cap=4)
     return scene, camera, Lighting.default(), cfg
 
 

@@ -111,10 +111,17 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
         # Flags as [CHUNK,1] columns via a K=1 mat-vec (a [1,N]->[N,1]
         # reshape is a slow lane->sublane relayout).
+        # precision=HIGHEST: the default single-pass bf16 MXU mode
+        # ROUNDS these f32 values (a triangle id like 12961 becomes
+        # 12992; edge/z plane coefficients lose 16 mantissa bits, which
+        # breaks watertightness and depth exactness on real TPUs —
+        # interpret-mode tests never see it). HIGHEST is the exact
+        # bf16x3 decomposition.
         unit = jnp.ones((1, 1), jnp.float32)
         fcc = jax.lax.dot_general(
             c_adj[:, 4 * CHUNK:], unit,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # [8*CHUNK, 1]
         tl0 = fcc[0:CHUNK]
         tl1 = fcc[CHUNK:2 * CHUNK]
@@ -127,14 +134,17 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         acol = jax.lax.dot_general(
             a_row[:, :4 * CHUNK], unit,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         bcol = jax.lax.dot_general(
             b_row[:, :4 * CHUNK], unit,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         ccol = jax.lax.dot_general(
             c_adj[:, :4 * CHUNK], unit,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
         # Pixel+sample coordinate rows, natively in [1, SP] lane layout.

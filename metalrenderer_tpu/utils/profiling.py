@@ -7,6 +7,7 @@ import contextlib
 import time
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -19,17 +20,30 @@ def device_trace(log_dir="/tmp/metalrenderer_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def _drain(out):
+    """Synchronize with the device. On tunneled backends (axon),
+    block_until_ready can return before execution completes; fetching
+    the smallest output leaf to host is the reliable barrier."""
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        smallest = min(leaves, key=lambda x: getattr(x, "size", 1))
+        np.asarray(smallest)
+
+
 def timed(fn, *args, iters=10, warmup=2, **kwargs):
     """Wall-time a jitted callable with proper device synchronization
-    (jax.block_until_ready; the perf-regression harness primitive,
-    SURVEY.md §4e). Returns (seconds_per_call, last_result)."""
+    (the perf-regression harness primitive, SURVEY.md §4e).
+    Returns (seconds_per_call, last_result)."""
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    if out is not None:
+        _drain(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -45,17 +45,16 @@ def checksum(tree):
 
 
 def build_stage_fn(stage):
-    """Returns frame_fn(disp) -> scalar checksum running through `stage`."""
+    """Returns frame_fn(scene, disp) -> scalar checksum through `stage`."""
     config = RenderConfig(width=WIDTH, height=HEIGHT, msaa=4,
                           shadow_map_size=1024)
     shadow_config = ShadowConfig()
     camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2,
                          aspect=WIDTH / HEIGHT)
-    scene = audio_app.build_scene()
     lighting = Lighting.default()
     shadow_target = jnp.asarray([0.0, 0.0, -1.0])
 
-    def frame(disp):
+    def frame(scene, disp):
         geom = bake(scene, disp)
         light = lighting.light
         light_view = lights_mod.light_view_matrix(light.position,
@@ -131,6 +130,7 @@ STAGES = ["prep_shadow_geom", "shadow_raster", "prep_main_geom",
 
 
 def main():
+    scene = audio_app.build_scene()
     disps = jnp.linspace(0.0, 0.05, FRAMES)
     results = {}
     prev = 0.0
@@ -138,18 +138,17 @@ def main():
         frame = build_stage_fn(stage)
 
         @jax.jit
-        def run(disps, frame=frame):
+        def run(scene, disps, frame=frame):
             def step(c, d):
-                return c + frame(d), None
+                return c + frame(scene, d), None
             tot, _ = jax.lax.scan(step, jnp.float32(0.0), disps)
             return tot
 
-        tot = run(disps)
-        tot.block_until_ready()
+        float(run(scene, disps))
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            run(disps).block_until_ready()
+            tot = float(run(scene, disps))
             best = min(best, time.perf_counter() - t0)
         ms = best / FRAMES * 1e3
         results[stage] = {"cum_ms": round(ms, 3),

@@ -164,6 +164,16 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=None)
     p.set_defaults(fn=cmd_audioapp)
 
+    p = sub.add_parser(
+        "flythrough",
+        help="quaternion-slerp camera flythrough (PNG sequence)")
+    _add_render_args(p)
+    p.add_argument("--pose", action="append", default=[],
+                   help="orbit key pose 'radius,theta,phi' (repeat >= 2x)")
+    p.add_argument("--frames-per-segment", type=int, default=24)
+    p.add_argument("--out-dir", default="flythrough")
+    p.set_defaults(fn=cmd_flythrough)
+
     p = sub.add_parser("analyze", help="audio feature telemetry (JSON lines)")
     p.add_argument("--wav", required=True)
     p.set_defaults(fn=cmd_analyze)

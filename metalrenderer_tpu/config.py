@@ -38,9 +38,21 @@ class RenderConfig:
     # per-pixel fragment shading and quarters the shadow-map sampling
     # cost; per-sample evaluation is the supersampled variant.
     shadow_per_pixel: bool = True
+    # Run the WHOLE fragment stage (texture sampling, normal mapping,
+    # Blinn-Phong, shadow) once per PIXEL at the first covered sample's
+    # attributes, keeping coverage/depth per sample — Metal's fragment
+    # semantics (BlinnPhong.metal:40-97 runs per fragment, not per
+    # sample; hardware resolves per-sample coverage,
+    # mtl_engine.mm:615). False = supersampled shading (shade every
+    # MSAA sample), 4x the fragment work at MSAA 4.
+    shading_per_pixel: bool = True
     # Tile shape for the Pallas rasterizer (sublane x lane aligned).
     tile_h: int = 8
     tile_w: int = 128
+    # Tile shape for the depth-only shadow pass. Taller tiles mean fewer
+    # band program steps over the (sparse) 1024^2 shadow map.
+    shadow_tile_h: int = 32
+    shadow_tile_w: int = 128
     # Binning: max tiles a triangle may span before it goes to the shared
     # "big" list; capacity of that list (overflow counted in stats).
     span_cap: int = 8

@@ -35,7 +35,10 @@ def _load():
         cache.mkdir(exist_ok=True)
         lib_path = cache / f"libobjparser-{digest}.so"
         if not lib_path.exists():
-            tmp = lib_path.with_suffix(".so.tmp")
+            # Unique temp per process: concurrent builds must not
+            # interleave writes into one file before the atomic rename.
+            import os
+            tmp = lib_path.with_suffix(f".so.tmp{os.getpid()}")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
                 check=True, capture_output=True)

@@ -134,7 +134,17 @@ def render_frame(scene: Scene, camera, lighting,
         # cube into the shadow pass, mtl_engine.mm:785-787).
         setup_l = setup_l.replace(
             valid=setup_l.valid & geom.cast_shadow[parent_l])
-        depth_map = raster_depth(setup_l, config.shadow_map_size)
+        if backend == "pallas":
+            from ..raster import raster_pallas
+            depth_sm, _, _, sstats = raster_pallas.rasterize_tiles(
+                setup_l, config.shadow_map_size, config.shadow_map_size,
+                config.shadow_tile_h, config.shadow_tile_w, ((0.5, 0.5),),
+                big_capacity=config.big_capacity, clear_depth=1.0)
+            depth_map = depth_sm[0]
+            stats["shadow_big_dropped"] = sstats["big_dropped"]
+        else:
+            depth_map = raster_depth(setup_l, config.shadow_map_size)
+            stats["shadow_big_dropped"] = jnp.zeros((), jnp.int32)
         shadow_ctx = ShadowContext(
             depth_map=depth_map, light_view=light_view, light_proj=light_proj)
         stats["shadow_min_depth"] = jnp.min(depth_map)
@@ -146,16 +156,20 @@ def render_frame(scene: Scene, camera, lighting,
 
     if backend == "pallas":
         from ..raster import raster_pallas
-        depth, winner, gout, _ = raster_pallas.rasterize_tiles(
+        depth, winner, gout, rstats = raster_pallas.rasterize_tiles(
             setup, config.width, config.height, config.tile_h,
             config.tile_w, tuple(config.sample_positions),
             span_cap=config.span_cap, big_capacity=config.big_capacity,
             clear_depth=config.clear_depth, with_attrs=True,
             pass_geom=pass_geom)
         channels = raster_pallas.channels_from_gout(gout, winner)
+        # SURVEY §7: caps are counted, never silently dropped — surface
+        # the big-list overflow so over-capacity scenes are detectable.
+        stats["big_dropped"] = rstats["big_dropped"]
     else:
         gbuf = raster_gbuffer(setup, pass_geom, config)
         channels = channels_from_gbuffer(gbuf)
+        stats["big_dropped"] = jnp.zeros((), jnp.int32)
 
     r, g, b, a = shade_channels(
         channels,
@@ -174,12 +188,17 @@ def render_frame(scene: Scene, camera, lighting,
         tiled_sampler=(backend == "pallas"),
         shadow_per_pixel=config.shadow_per_pixel,
         return_planes=True,
+        per_pixel=config.shading_per_pixel,
     )
-    # MSAA box resolve per channel plane; pack [H, W, 4] exactly once —
-    # stacking before the resolve would materialize a [S,H,W,4] minor-4
-    # layout (another ~10x lane-efficiency trap).
-    framebuffer = jnp.stack(
-        [jnp.mean(c, axis=0) for c in (r, g, b, a)], axis=-1)
+    if r.ndim == 2:
+        # Per-pixel fragment mode: coverage already resolved in-shader.
+        framebuffer = jnp.stack([r, g, b, a], axis=-1)
+    else:
+        # MSAA box resolve per channel plane; pack [H, W, 4] exactly once
+        # — stacking before the resolve would materialize a [S,H,W,4]
+        # minor-4 layout (another ~10x lane-efficiency trap).
+        framebuffer = jnp.stack(
+            [jnp.mean(c, axis=0) for c in (r, g, b, a)], axis=-1)
     stats["covered_fraction"] = jnp.mean(
         channels["covered"].astype(jnp.float32))
     return framebuffer, stats

@@ -305,19 +305,26 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
         # Big triangles: after the binned list (documented tie-break
         # deviation), per big chunk over the subtiles its AABB overlaps.
+        # A DYNAMIC loop over big chunks: one copy of process_chunk in
+        # the program instead of n_big_chunks unrolled copies — compile
+        # time is a first-order constraint on this platform (config 5's
+        # 1M-tri program) and the big path is rarely hot.
         y0 = b * tile_h
-        for bc in range(n_big_chunks):
+
+        def big_body(bc, _):
             bx0 = big_aabb[bc * 4 + 0]
             by0 = big_aabb[bc * 4 + 1]
             bx1 = big_aabb[bc * 4 + 2]
             by1 = big_aabb[bc * 4 + 3]
-            overlap_y = (big_live[bc] > 0) & (by0 <= y0 + tile_h) & \
-                (by1 >= y0)
+            # Half-open extents: the AABB's x1/y1 are exclusive (ceil of
+            # the float max), so the last covered row/subtile is at -1.
+            overlap_y = (big_live[bc] > 0) & (by0 < y0 + tile_h) & \
+                (by1 > y0)
             sx0 = jnp.clip(bx0 // tile_w, 0, ntx - 1)
-            sx1 = jnp.clip(bx1 // tile_w, 0, ntx - 1)
+            sx1 = jnp.clip((bx1 - 1) // tile_w, 0, ntx - 1)
 
             @pl.when(overlap_y)
-            def _(bc=bc, sx0=sx0, sx1=sx1):
+            def _():
                 def bbody(s, _):
                     process_chunk(
                         big_ref[bc],
@@ -325,6 +332,10 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                         s, oy, outs)
                     return 0
                 jax.lax.fori_loop(sx0, sx1 + 1, bbody, 0)
+            return 0
+
+        if n_big_chunks:
+            jax.lax.fori_loop(0, n_big_chunks, big_body, 0)
 
     return kernel
 

@@ -34,21 +34,28 @@ from ..utils.pytree import pytree_dataclass
 from . import sampling
 
 
-def _sample2d(tex_hw, u, v, address_mode, tiled, oob_value=None):
+def _sample2d(tex_hw, u, v, address_mode, tiled, oob_value=None, mask=None):
     """Single-channel bilinear sample; ``tiled`` selects the gather-free
     Pallas path (sample_pallas.py) used by the production backend. The
     tiled path requires 2-D [H, W] coordinate grids; callers with leading
-    sample dims loop them (python loop at trace time)."""
+    sample dims loop them (python loop at trace time). ``mask``: pixels
+    that consume the result (tiled path skips maskless tiles; masked-out
+    pixels read ``oob_value``)."""
     if not tiled:
         return sampling.sample_bilinear(tex_hw[..., None], u, v,
                                         address_mode)[..., 0]
     from .sample_pallas import sample_bilinear_tiled
     if u.ndim == 2:
-        return sample_bilinear_tiled(tex_hw, u, v, address_mode, oob_value)
+        return sample_bilinear_tiled(tex_hw, u, v, address_mode, oob_value,
+                                     mask=mask)
     flat_u = u.reshape((-1,) + u.shape[-2:])
     flat_v = v.reshape((-1,) + v.shape[-2:])
+    flat_m = (None if mask is None
+              else jnp.broadcast_to(mask, u.shape).reshape(
+                  (-1,) + u.shape[-2:]))
     outs = [sample_bilinear_tiled(tex_hw, flat_u[i], flat_v[i], address_mode,
-                                  oob_value)
+                                  oob_value,
+                                  mask=None if flat_m is None else flat_m[i])
             for i in range(flat_u.shape[0])]
     return jnp.stack(outs).reshape(u.shape)
 
@@ -137,7 +144,7 @@ def blinn_phong(world, normal, mat_color, camera_pos, light_pos, light_color,
 
 
 def _shadow_factor_soa(w, shadow_ctx: ShadowContext, bias, factor,
-                       tiled_sampler):
+                       tiled_sampler, needs=None):
     """BlinnPhong.metal:79-96. lightSpacePos is an affine transform of
     worldPos, so computing it here is exactly equivalent to interpolating
     the per-vertex value (linear maps commute with perspective-correct
@@ -155,12 +162,14 @@ def _shadow_factor_soa(w, shadow_ctx: ShadowContext, bias, factor,
     shadow_depth = lz * inv_w * 0.5 + 0.5    # reference depth remap quirk
     in_bounds = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
     # oob_value=1.0: pixels outside their tile's sampling window read far
-    # depth -> lit (never phantom-shadowed). The depth map keeps the
-    # 136-row-window sampler: a single-level pyramid window (32 rows)
-    # fails at low resolutions where per-pixel shadow-uv steps are large,
-    # and depth has no mip chain to escalate into.
+    # depth -> lit (never phantom-shadowed). ``needs`` narrows the work
+    # to the fragments whose material actually runs the shadow test
+    # (BlinnPhong.metal:60 fragmentBP vs :40 fragmentBP_NoShadow) — the
+    # tiled sampler skips tiles with no such pixel entirely.
+    mask = in_bounds if needs is None else (in_bounds & needs)
     d = _sample2d(shadow_ctx.depth_map, u, v, sampling.REPEAT,
-                  tiled_sampler, oob_value=1.0)
+                  tiled_sampler, oob_value=1.0,
+                  mask=mask if tiled_sampler else None)
     shadowed = (shadow_depth - bias) > d
     return jnp.where(in_bounds & shadowed, factor, 1.0)
 
@@ -312,22 +321,55 @@ def apply_normal_maps(gbuf: GBuffer, textures, normal_map_ids,
     return gbuf.replace(normal=jnp.stack(n, axis=-1))
 
 
+def _select_first_covered(ch, covered):
+    """Per-pixel channel planes at the FIRST covered sample.
+
+    Metal invokes the fragment shader once per fragment (per pixel for
+    non-centroid attributes), not once per MSAA sample; this reduction
+    implements that semantics for the deferred pipeline. Returns
+    (2-D channel dict, any-covered bool[H, W])."""
+    keys = [k for k in ("wx", "wy", "wz", "nx", "ny", "nz", "u", "v",
+                        "kind", "texid", "nmid", "cr", "cg", "cb")
+            if ch.get(k) is not None]
+    sel = {k: ch[k][0] for k in keys}
+    cov_any = covered[0]
+    for si in range(1, covered.shape[0]):
+        use = (~cov_any) & covered[si]
+        for k in keys:
+            sel[k] = jnp.where(use, ch[k][si], sel[k])
+        cov_any = cov_any | covered[si]
+    out = dict(ch, **sel)
+    out["covered"] = cov_any
+    return out, cov_any
+
+
 def shade_channels(ch, camera_pos, light_pos, light_color,
                    ambient_intensity, shininess, clear_color,
                    shadow_ctx: ShadowContext = None, textures=(),
                    shadow_bias=0.005, shadow_factor_value=0.5,
                    tiled_sampler=False, shadow_per_pixel=True,
-                   return_planes=False, light_dir=None):
+                   return_planes=False, light_dir=None, per_pixel=False):
     """Full fragment stage over SoA channel planes -> f32[..., 4] RGBA.
 
     ``ch``: dict of full-width planes (each [S, H, W] or broadcastable):
     wx wy wz, nx ny nz, u v, kind, texid, nmid, cr cg cb, covered.
     This is the production entry point — no [..., 3]-minor arrays ever
     exist, which is worth ~10x on shading throughput.
+
+    ``per_pixel``: shade once per PIXEL at the first covered sample's
+    attributes (Metal fragment semantics, BlinnPhong.metal:40-97) and
+    resolve per-sample coverage into the clear-color blend. Returns
+    [H, W] planes / [H, W, 4] in this mode. False = supersampled
+    shading over every [S, H, W] sample.
     """
     camera_pos = jnp.asarray(camera_pos, jnp.float32)
     light_pos = jnp.asarray(light_pos, jnp.float32)
     light_color = jnp.asarray(light_color, jnp.float32)
+
+    cov_frac = None
+    if per_pixel and ch["covered"].ndim == 3 and ch["covered"].shape[0] > 1:
+        cov_frac = jnp.mean(ch["covered"].astype(jnp.float32), axis=0)
+        ch, _ = _select_first_covered(ch, ch["covered"])
 
     w = (ch["wx"], ch["wy"], ch["wz"])
     n = (ch["nx"], ch["ny"], ch["nz"])
@@ -353,6 +395,7 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
     a = jnp.ones_like(r)
 
     if shadow_ctx is not None:
+        receives = ch["kind"] == BLINN_PHONG_SHADOW
         if shadow_per_pixel and covered.ndim == 3:
             # One shadow evaluation per pixel at the first covered
             # sample's world position (Metal shades fragments per pixel,
@@ -366,22 +409,33 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
                 wz = jnp.where(use, w[2][si], wz)
                 cov_any = cov_any | covered[si]
             sf = _shadow_factor_soa((wx, wy, wz), shadow_ctx, shadow_bias,
-                                    shadow_factor_value, tiled_sampler)
+                                    shadow_factor_value, tiled_sampler,
+                                    needs=jnp.any(receives & covered,
+                                                  axis=0))
             sf = jnp.broadcast_to(sf[None], covered.shape)
         else:
             sf = _shadow_factor_soa(w, shadow_ctx, shadow_bias,
-                                    shadow_factor_value, tiled_sampler)
+                                    shadow_factor_value, tiled_sampler,
+                                    needs=receives & covered)
         # fragColor * shadow multiplies all four channels
         # (BlinnPhong.metal:96).
-        apply = ch["kind"] == BLINN_PHONG_SHADOW
-        msk = jnp.where(apply, sf, 1.0)
+        msk = jnp.where(receives, sf, 1.0)
         r, g, b, a = r * msk, g * msk, b * msk, a * msk
 
     clear = jnp.asarray(clear_color, jnp.float32)
-    r = jnp.where(covered, r, clear[0])
-    g = jnp.where(covered, g, clear[1])
-    b = jnp.where(covered, b, clear[2])
-    a = jnp.where(covered, a, clear[3])
+    if cov_frac is not None:
+        # Per-sample coverage resolve: every covered sample of a pixel
+        # carries the per-pixel fragment color, uncovered samples the
+        # clear color; the MSAA box filter reduces to this blend.
+        r = r * cov_frac + clear[0] * (1.0 - cov_frac)
+        g = g * cov_frac + clear[1] * (1.0 - cov_frac)
+        b = b * cov_frac + clear[2] * (1.0 - cov_frac)
+        a = a * cov_frac + clear[3] * (1.0 - cov_frac)
+    else:
+        r = jnp.where(covered, r, clear[0])
+        g = jnp.where(covered, g, clear[1])
+        b = jnp.where(covered, b, clear[2])
+        a = jnp.where(covered, a, clear[3])
     if return_planes:
         return r, g, b, a
     return jnp.stack([r, g, b, a], axis=-1)

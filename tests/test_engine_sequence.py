@@ -69,3 +69,16 @@ def test_cli_audioapp_smoke(tmp_path):
     assert (out_dir / "frame_00000.png").exists()
     assert (out_dir / "frame_00001.png").exists()
     assert (out_dir / "telemetry.json").exists()
+
+
+def test_cli_flythrough_smoke(tmp_path):
+    from metalrenderer_tpu import cli
+    out_dir = tmp_path / "fly"
+    cli.main(["flythrough", "--width", "48", "--height", "48", "--msaa", "1",
+              "--shadow-map-size", "64", "--backend", "reference",
+              "--pose", "5,2.5,1.2", "--pose", "5,3.0,1.2",
+              "--frames-per-segment", "2", "--out-dir", str(out_dir)])
+    from metalrenderer_tpu.io import png
+    img = png.read_png(out_dir / "fly_00000.png")
+    assert img.shape == (48, 48, 3)
+    assert (out_dir / "fly_00002.png").exists()

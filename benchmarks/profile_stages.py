@@ -71,8 +71,11 @@ def build_stage_fn(stage):
         if stage == "prep_shadow_geom":
             return checksum((setup_l.edge, setup_l.z))
 
-        depth_map = raster_pallas.raster_depth(setup_l,
-                                               config.shadow_map_size)
+        depth_sm, _, _, _ = raster_pallas.rasterize_tiles(
+            setup_l, config.shadow_map_size, config.shadow_map_size,
+            config.shadow_tile_h, config.shadow_tile_w, ((0.5, 0.5),),
+            big_capacity=config.big_capacity, clear_depth=1.0)
+        depth_map = depth_sm[0]
         if stage == "shadow_raster":
             return checksum(depth_map)
         shadow_ctx = ShadowContext(depth_map=depth_map,
@@ -85,15 +88,22 @@ def build_stage_fn(stage):
         if stage == "prep_main_geom":
             return checksum((setup.edge, setup.z, pg.world))
 
+        attr_px = (config.shading_per_pixel
+                   and config.tile_h == 8 and config.tile_w == 128)
         depth, winner, gout, _ = raster_pallas.rasterize_tiles(
             setup, config.width, config.height, config.tile_h,
             config.tile_w, tuple(config.sample_positions),
             span_cap=config.span_cap, big_capacity=config.big_capacity,
-            clear_depth=config.clear_depth, with_attrs=True, pass_geom=pg)
+            clear_depth=config.clear_depth, with_attrs=True, pass_geom=pg,
+            attr_px=attr_px)
         if stage == "main_raster":
             return checksum((depth, winner, gout))
 
-        channels = raster_pallas.channels_from_gout(gout, winner)
+        if attr_px:
+            channels = raster_pallas.channels_from_gout_px(
+                gout, len(config.sample_positions))
+        else:
+            channels = raster_pallas.channels_from_gout(gout, winner)
         if stage == "channels":
             return checksum(channels)
 
@@ -108,7 +118,8 @@ def build_stage_fn(stage):
                 shadow_factor_value=config.shadow_factor,
                 tiled_sampler=True,
                 shadow_per_pixel=config.shadow_per_pixel,
-                return_planes=True)
+                return_planes=True,
+                per_pixel=config.shading_per_pixel)
 
         if stage == "shade_noshadow":
             return checksum(shade_with(None))
@@ -117,8 +128,11 @@ def build_stage_fn(stage):
         if stage == "shade_shadow":
             return checksum((r, g, b, a))
 
-        fb = jnp.stack([jnp.mean(c, axis=0) for c in (r, g, b, a)],
-                       axis=-1)
+        if r.ndim == 2:
+            fb = jnp.stack([r, g, b, a], axis=-1)
+        else:
+            fb = jnp.stack([jnp.mean(c, axis=0) for c in (r, g, b, a)],
+                           axis=-1)
         return checksum(fb)  # stage == "resolve"
 
     return frame

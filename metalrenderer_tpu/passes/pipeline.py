@@ -156,13 +156,22 @@ def render_frame(scene: Scene, camera, lighting,
 
     if backend == "pallas":
         from ..raster import raster_pallas
+        # Per-pixel fragment attributes straight out of the kernel when
+        # the tile shape allows it: gout (and the whole fragment stage)
+        # is then n_samples-x smaller than the supersampled variant.
+        attr_px = (config.shading_per_pixel
+                   and config.tile_h == 8 and config.tile_w == 128)
         depth, winner, gout, rstats = raster_pallas.rasterize_tiles(
             setup, config.width, config.height, config.tile_h,
             config.tile_w, tuple(config.sample_positions),
             span_cap=config.span_cap, big_capacity=config.big_capacity,
             clear_depth=config.clear_depth, with_attrs=True,
-            pass_geom=pass_geom)
-        channels = raster_pallas.channels_from_gout(gout, winner)
+            pass_geom=pass_geom, attr_px=attr_px)
+        if attr_px:
+            channels = raster_pallas.channels_from_gout_px(
+                gout, len(config.sample_positions))
+        else:
+            channels = raster_pallas.channels_from_gout(gout, winner)
         # SURVEY §7: caps are counted, never silently dropped — surface
         # the big-list overflow so over-capacity scenes are detectable.
         stats["big_dropped"] = rstats["big_dropped"]
@@ -199,8 +208,10 @@ def render_frame(scene: Scene, camera, lighting,
         # minor-4 layout (another ~10x lane-efficiency trap).
         framebuffer = jnp.stack(
             [jnp.mean(c, axis=0) for c in (r, g, b, a)], axis=-1)
-    stats["covered_fraction"] = jnp.mean(
-        channels["covered"].astype(jnp.float32))
+    cov = channels.get("cov_frac")
+    if cov is None:
+        cov = channels["covered"].astype(jnp.float32)
+    stats["covered_fraction"] = jnp.mean(cov)
     return framebuffer, stats
 
 

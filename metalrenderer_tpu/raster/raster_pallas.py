@@ -75,7 +75,7 @@ def _cdiv(a, b):
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 n_big_chunks, with_attrs):
+                 n_big_chunks, with_attrs, attr_px=False):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
@@ -94,9 +94,50 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         return jnp.concatenate(
             [row[:, r * p8w:(r + 1) * p8w] for r in range(TILE8_H)], axis=0)
 
-    def process_chunk(mm, amm, sub, oy, outs):
-        """mm: [3, COLS]; amm: [3, ATTR_COLS] or None. Accumulates into
-        this band's output blocks at subtile ``sub``."""
+    def prep_cols(mm, amm):
+        """Per-chunk column extraction, HOISTED out of the subtile loop
+        (big chunks are reprocessed by every overlapped subtile; the
+        mat-vecs and attr-row broadcasts only depend on the chunk).
+        mm: [3+, COLS]; amm: [3+, ATTR_COLS] or None.
+
+        Flags as [CHUNK,1] columns via a K=1 mat-vec (a [1,N]->[N,1]
+        reshape is a slow lane->sublane relayout).
+        precision=HIGHEST: the default single-pass bf16 MXU mode
+        ROUNDS these f32 values (a triangle id like 12961 becomes
+        12992; edge/z plane coefficients lose 16 mantissa bits, which
+        breaks watertightness and depth exactness on real TPUs —
+        interpret-mode tests never see it). HIGHEST is the exact
+        bf16x3 decomposition. Flag groups have A = B = 0, so their raw
+        C row IS the flag value (no tile adjustment needed).
+        """
+        a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
+        unit = jnp.ones((1, 1), jnp.float32)
+
+        def col(row):
+            return jax.lax.dot_general(
+                row, unit,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        fcc = col(c_row[:, 4 * CHUNK:])                  # [8*CHUNK, 1]
+        # Plane coefficients as [4*CHUNK, 1] columns (K=1 mat-vecs — the
+        # cheap sublane-major transpose).
+        acol = col(a_row[:, :4 * CHUNK])
+        bcol = col(b_row[:, :4 * CHUNK])
+        ccol = col(c_row[:, :4 * CHUNK])
+        if amm is None:
+            t8_rows = None
+        else:
+            t8_rows = [
+                jnp.concatenate([amm[r:r + 1, :]] * TILE8_H, axis=0)
+                for r in range(3)
+            ]                                            # 3 x [8, ATTR_COLS]
+        return acol, bcol, ccol, fcc, t8_rows
+
+    def process_chunk(cols, sub, oy, outs):
+        """cols: prep_cols output.
+        Accumulates into this band's output blocks at subtile ``sub``."""
         if with_attrs:
             depth_blk, win_blk, gout_blk = outs
         else:
@@ -104,48 +145,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         ox = (sub * tile_w).astype(jnp.float32)
         lane_off = pl.multiple_of(sub * p8w, p8w)
 
-        # Tile-relative C rows (exact f32 FMAs keep edge magnitudes small
-        # so plane evaluation stays sub-1/256-pixel accurate).
-        a_row, b_row, c_row = mm[0:1, :], mm[1:2, :], mm[2:3, :]
-        c_adj = c_row + a_row * ox + b_row * oy          # [1, COLS]
-
-        # Flags as [CHUNK,1] columns via a K=1 mat-vec (a [1,N]->[N,1]
-        # reshape is a slow lane->sublane relayout).
-        # precision=HIGHEST: the default single-pass bf16 MXU mode
-        # ROUNDS these f32 values (a triangle id like 12961 becomes
-        # 12992; edge/z plane coefficients lose 16 mantissa bits, which
-        # breaks watertightness and depth exactness on real TPUs —
-        # interpret-mode tests never see it). HIGHEST is the exact
-        # bf16x3 decomposition.
-        unit = jnp.ones((1, 1), jnp.float32)
-        fcc = jax.lax.dot_general(
-            c_adj[:, 4 * CHUNK:], unit,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # [8*CHUNK, 1]
+        acol, bcol, c_raw, fcc, t8_rows = cols
         tl0 = fcc[0:CHUNK]
         tl1 = fcc[CHUNK:2 * CHUNK]
         tl2 = fcc[2 * CHUNK:3 * CHUNK]
         vld = fcc[3 * CHUNK:4 * CHUNK]
         tid = fcc[4 * CHUNK:5 * CHUNK]
-
-        # Plane coefficients as [4*CHUNK, 1] columns (K=1 mat-vecs — the
-        # cheap sublane-major transpose).
-        acol = jax.lax.dot_general(
-            a_row[:, :4 * CHUNK], unit,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        bcol = jax.lax.dot_general(
-            b_row[:, :4 * CHUNK], unit,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        ccol = jax.lax.dot_general(
-            c_adj[:, :4 * CHUNK], unit,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        # Tile-relative C columns (exact f32 FMAs keep edge magnitudes
+        # small so plane evaluation stays sub-1/256-pixel accurate).
+        # Bit-identical to adjusting the rows before the transpose.
+        ccol = c_raw + acol * ox + bcol * oy             # [4*CHUNK, 1]
 
         # Pixel+sample coordinate rows, natively in [1, SP] lane layout.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1)
@@ -186,7 +195,99 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         win_blk[:, pl.ds(lane_off, p8w)] = jnp.where(
             take8, wt8.astype(jnp.int32), win_blk[:, pl.ds(lane_off, p8w)])
 
-        if with_attrs:
+        if with_attrs and attr_px:
+            # PER-PIXEL attribute update (Metal fragment semantics):
+            # attributes belong to the winner of the pixel's FIRST
+            # covered sample, evaluated at that sample's position —
+            # exactly shade._select_first_covered of the per-sample
+            # variant, but computed in-kernel so gout (and everything
+            # downstream of it) is n_samples-x smaller. Coverage is
+            # monotone across chunks (winner only ever becomes >= 0), so
+            # updating whenever THIS chunk takes the pixel's current
+            # first-covered sample converges to exactly that semantic.
+            tri_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            cand = jnp.where(at_min, tri_idx, -1)
+            wl = jnp.max(cand, axis=0, keepdims=True)    # [1, SP] i32
+            wl8 = to8(jnp.maximum(wl, 0))
+            # All masks become f32 at the full [8, p8w] shape BEFORE any
+            # [1, tile_w] strip is cut: Mosaic cannot lower boolean
+            # vectors on 1-sublane strips (i8->i1 trunci is unsupported),
+            # so the per-sample selection below is pure f32 arithmetic.
+            cov8f = (win_blk[:, pl.ds(lane_off, p8w)] >= 0).astype(
+                jnp.float32)                             # post-update
+            take8f = take8.astype(jnp.float32)
+            wl8f = wl8.astype(jnp.float32)               # ids < 2^24: exact
+
+            def pxv(x8, s, pr):
+                """[1, tile_w] view of (sample s, tile row pr) inside a
+                folded [8, p8w] subtile block. Static 8-sublane /
+                128-lane-aligned slices only."""
+                r = (TILE8_H * s + pr) // n_samples
+                c = ((TILE8_H * s + pr) % n_samples) * tile_w
+                return x8[r:r + 1, c:c + tile_w]
+
+            offs = sample_offsets
+            rows_upd, rows_wl, rows_ox, rows_oy, rows_cnt = [], [], [], [], []
+            for pr in range(TILE8_H):
+                sel_cov = pxv(cov8f, 0, pr)
+                cnt = pxv(cov8f, 0, pr)
+                sel_take = pxv(take8f, 0, pr)
+                sel_wl = pxv(wl8f, 0, pr)
+                sel_ox = jnp.full((1, tile_w), jnp.float32(offs[0][0]))
+                sel_oy = jnp.full((1, tile_w), jnp.float32(offs[0][1]))
+                for s in range(1, n_samples):
+                    cs = pxv(cov8f, s, pr)
+                    use = cs * (1.0 - sel_cov)           # cs & ~sel_cov
+                    keep = 1.0 - use
+                    sel_take = use * pxv(take8f, s, pr) + keep * sel_take
+                    sel_wl = use * pxv(wl8f, s, pr) + keep * sel_wl
+                    sel_ox = use * jnp.float32(offs[s][0]) + keep * sel_ox
+                    sel_oy = use * jnp.float32(offs[s][1]) + keep * sel_oy
+                    sel_cov = jnp.maximum(sel_cov, cs)   # sel_cov | cs
+                    cnt = cnt + cs
+                rows_upd.append(sel_cov * sel_take)
+                rows_wl.append(sel_wl)
+                rows_ox.append(sel_ox)
+                rows_oy.append(sel_oy)
+                rows_cnt.append(cnt)
+            upd8 = jnp.concatenate(rows_upd, axis=0)     # [8, tile_w] f32
+            wl8p = jnp.concatenate(rows_wl, axis=0).astype(jnp.int32)
+            sx8 = (jax.lax.broadcasted_iota(
+                jnp.int32, (TILE8_H, tile_w), 1).astype(jnp.float32)
+                + ox + jnp.concatenate(rows_ox, axis=0))
+            sy8 = (jax.lax.broadcasted_iota(
+                jnp.int32, (TILE8_H, tile_w), 0).astype(jnp.float32)
+                + oy + jnp.concatenate(rows_oy, axis=0))
+            lane_px = pl.multiple_of(sub * tile_w, tile_w)
+
+            def gather_px(r, g):
+                per128 = 128 // CHUNK
+                pair = g // per128
+                t8 = t8_rows[r][:, pair * 128:(pair + 1) * 128]
+                return jnp.take_along_axis(
+                    t8, wl8p + CHUNK * (g % per128), axis=1)
+
+            for g in range(ATTR_GROUPS):
+                ag = gather_px(0, g)
+                bg = gather_px(1, g)
+                cg = gather_px(2, g)
+                val = ag * sx8 + bg * sy8 + cg
+                old = gout_blk[g * TILE8_H:(g + 1) * TILE8_H,
+                               pl.ds(lane_px, tile_w)]
+                gout_blk[g * TILE8_H:(g + 1) * TILE8_H,
+                         pl.ds(lane_px, tile_w)] = (
+                    upd8 * val + (1.0 - upd8) * old)
+            # The spare ROW_DEPTH row carries the per-pixel COVERED
+            # SAMPLE COUNT (cov_frac * n_samples). Every chunk visit
+            # rewrites it from the post-update winner state, so the last
+            # chunk to touch a subtile leaves the final count — and the
+            # production consumer never needs the per-sample winner
+            # planes at all (their unfold is then dead code).
+            gout_blk[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
+                     pl.ds(lane_px, tile_w)] = jnp.concatenate(
+                rows_cnt, axis=0)
+
+        elif with_attrs:
             # Gather the WINNER's plane coefficients per pixel-sample and
             # evaluate each plane with two FMAs — far cheaper than
             # evaluating all candidates' planes everywhere. The gathers
@@ -195,10 +296,6 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             cand = jnp.where(at_min, tri_idx, -1)
             wl = jnp.max(cand, axis=0, keepdims=True)    # [1, SP] i32
             wl8 = to8(jnp.maximum(wl, 0))
-            t8_rows = [
-                jnp.concatenate([amm[r:r + 1, :]] * TILE8_H, axis=0)
-                for r in range(3)
-            ]                                            # 3 x [8, ATTR_COLS]
             # Absolute sample coordinates rebuilt directly in [8, SP/8].
             l8 = (jax.lax.broadcasted_iota(
                 jnp.int32, (TILE8_H, p8w), 0) * p8w
@@ -261,7 +358,10 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         depth_out[...] = jnp.full((TILE8_H, ntx * p8w), clear_depth,
                                   jnp.float32)
         win_out[...] = jnp.full((TILE8_H, ntx * p8w), -1, jnp.int32)
-        if with_attrs:
+        if with_attrs and attr_px:
+            gout[...] = jnp.zeros((GOUT_ROWS * TILE8_H, ntx * tile_w),
+                                  jnp.float32)
+        elif with_attrs:
             gout[...] = jnp.zeros((GOUT_ROWS * TILE8_H, ntx * p8w),
                                   jnp.float32)
             gout[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H, :] = \
@@ -297,8 +397,9 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 start_dma(1 - slot, ci + 1)
 
             wait_dma(slot, ci)
-            process_chunk(cbuf[slot], abuf[slot] if with_attrs else None,
-                          sub_of_chunk[ci], oy, outs)
+            cols = prep_cols(cbuf[slot],
+                             abuf[slot] if with_attrs else None)
+            process_chunk(cols, sub_of_chunk[ci], oy, outs)
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -325,11 +426,13 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
             @pl.when(overlap_y)
             def _():
+                # Column extraction hoisted: one set of mat-vecs per big
+                # chunk per band, not per overlapped subtile.
+                cols = prep_cols(big_ref[bc],
+                                 bigattr_ref[bc] if with_attrs else None)
+
                 def bbody(s, _):
-                    process_chunk(
-                        big_ref[bc],
-                        bigattr_ref[bc] if with_attrs else None,
-                        s, oy, outs)
+                    process_chunk(cols, s, oy, outs)
                     return 0
                 jax.lax.fori_loop(sx0, sx1 + 1, bbody, 0)
             return 0
@@ -348,17 +451,25 @@ def _should_interpret():
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "sample_offsets",
                      "span_cap", "big_capacity", "clear_depth",
-                     "with_attrs"),
+                     "with_attrs", "attr_px"),
 )
 def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                     sample_offsets, span_cap=8, big_capacity=256,
-                    clear_depth=1.0, with_attrs=False, pass_geom=None):
+                    clear_depth=1.0, with_attrs=False, pass_geom=None,
+                    attr_px=False):
     """Visibility (+ optional fused G-buffer attributes).
 
     Returns (depth f32[S,H,W], winner-tri i32[S,H,W], gout or None, stats).
     ``gout``: f32[S, 16, H, W] raw attribute rows (value/w planes +
     constants*invw; consumer divides by the ROW_INVW row).
+
+    ``attr_px``: per-PIXEL attribute rows instead (Metal fragment
+    semantics — first covered sample's winner, evaluated at that
+    sample's position). gout is then f32[16, H, W] and its band layout
+    unfolds as a pure reshape (no lane/sublane relayout at all).
     """
+    if attr_px:
+        assert with_attrs and tile_h == TILE8_H and tile_w == 128
     fields = build_tri_fields(setup)
     attr_fields = (build_attr_fields(setup, pass_geom)
                    if with_attrs else None)
@@ -374,7 +485,7 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     n_big_chunks = bins.big_chunks.shape[0]
 
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
-                          clear_depth, n_big_chunks, with_attrs)
+                          clear_depth, n_big_chunks, with_attrs, attr_px)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]    # chunks stay in HBM
     operands = [bins.chunks]
@@ -396,7 +507,14 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         jax.ShapeDtypeStruct((nty, TILE8_H, ntx * p8w), jnp.float32),
         jax.ShapeDtypeStruct((nty, TILE8_H, ntx * p8w), jnp.int32),
     ]
-    if with_attrs:
+    if with_attrs and attr_px:
+        # Per-pixel gout: one value per pixel, lanes are plain pixel x.
+        out_specs.append(pl.BlockSpec(
+            (None, GOUT_ROWS * TILE8_H, ntx * tile_w),
+            lambda b, *refs: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (nty, GOUT_ROWS * TILE8_H, ntx * tile_w), jnp.float32))
+    elif with_attrs:
         out_specs.append(out_block(GOUT_ROWS * TILE8_H))
         out_shape.append(jax.ShapeDtypeStruct(
             (nty, GOUT_ROWS * TILE8_H, ntx * p8w), jnp.float32))
@@ -434,7 +552,15 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
 
     depth = unfold(outs[0])
     winner = unfold(outs[1])    # triangle ids, resolved in-kernel
-    if with_attrs:
+    if with_attrs and attr_px:
+        # [nty, GOUT_ROWS*8, ntx*tile_w]: sublanes are tile rows, lanes
+        # are pixel x — unfolding is a major-dim transpose only (no
+        # lane/sublane relayout).
+        g_raw = outs[2].reshape(nty, GOUT_ROWS, tile_h, ntx * tile_w)
+        gout = g_raw.transpose(1, 0, 2, 3).reshape(
+            GOUT_ROWS, nty * tile_h, ntx * tile_w)
+        gout = gout[:, :height, :width]
+    elif with_attrs:
         g_raw = outs[2].reshape(nty, GOUT_ROWS, TILE8_H, ntx, p8w)
         g_raw = g_raw.transpose(0, 3, 1, 2, 4).reshape(
             nty, ntx, GOUT_ROWS, n_samples, tile_h, tile_w)
@@ -477,6 +603,42 @@ def channels_from_gout(gout, winner):
         "cr": row(ROW_COLOR), "cg": row(ROW_COLOR + 1),
         "cb": row(ROW_COLOR + 2),
         "covered": covered,
+    }
+
+
+def channels_from_gout_px(gout, n_samples):
+    """Per-PIXEL shading channels from an ``attr_px`` kernel gout.
+
+    ``gout`` is f32[GOUT_ROWS, H, W] — attributes of the first covered
+    sample's winner, already selected in-kernel (Metal fragment
+    semantics). Coverage comes from the kernel's covered-sample-count
+    row (ROW_DEPTH), so the per-sample winner/depth planes have NO
+    consumer in this path and their band unfold dead-codes away.
+    """
+    invw = gout[ROW_INVW]
+    cnt = gout[ROW_DEPTH]
+    covered = cnt > 0.0
+    inv = 1.0 / jnp.where(invw > 0.0, invw, 1.0)
+
+    def row(i):
+        return gout[i] * inv
+
+    return {
+        "wx": row(ROW_WORLD), "wy": row(ROW_WORLD + 1),
+        "wz": row(ROW_WORLD + 2),
+        "nx": row(ROW_NORMAL), "ny": row(ROW_NORMAL + 1),
+        "nz": row(ROW_NORMAL + 2),
+        "u": row(ROW_UV), "v": row(ROW_UV + 1),
+        "kind": jnp.where(covered,
+                          jnp.rint(row(ROW_MATKIND)).astype(jnp.int32), -1),
+        "texid": jnp.where(covered,
+                           jnp.rint(row(ROW_TEXID)).astype(jnp.int32), -1),
+        "nmid": jnp.where(covered,
+                          jnp.rint(row(ROW_NMID)).astype(jnp.int32), -1),
+        "cr": row(ROW_COLOR), "cg": row(ROW_COLOR + 1),
+        "cb": row(ROW_COLOR + 2),
+        "covered": covered,
+        "cov_frac": cnt * (1.0 / n_samples),
     }
 
 

@@ -367,7 +367,11 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
     light_color = jnp.asarray(light_color, jnp.float32)
 
     cov_frac = None
-    if per_pixel and ch["covered"].ndim == 3 and ch["covered"].shape[0] > 1:
+    if per_pixel and ch.get("cov_frac") is not None:
+        # Channels already selected per pixel in-kernel (attr_px path);
+        # only the per-sample coverage fraction survives for the resolve.
+        cov_frac = ch["cov_frac"]
+    elif per_pixel and ch["covered"].ndim == 3 and ch["covered"].shape[0] > 1:
         cov_frac = jnp.mean(ch["covered"].astype(jnp.float32), axis=0)
         ch, _ = _select_first_covered(ch, ch["covered"])
 

@@ -86,3 +86,41 @@ def test_audio_app_pallas_backend_bit_exact():
     mse = np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= 60.0, psnr
+
+
+def test_attr_px_matches_first_covered_selection():
+    """In-kernel per-pixel attributes (attr_px) == selecting the first
+    covered sample from the per-sample gout (shade._select_first_covered
+    semantics, BlinnPhong.metal:40 per-fragment execution)."""
+    from metalrenderer_tpu.passes.pipeline import prepare_main_pass
+    from metalrenderer_tpu.scene.scene import bake
+
+    cfg = RenderConfig(width=96, height=72, msaa=4)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=96 / 72)
+    scene = audio_app.build_scene()
+    geom = bake(scene, 0.02)
+    setup, pg = prepare_main_pass(geom, cam.view_matrix(),
+                                  cam.projection_matrix(), cfg)
+    samples = tuple(cfg.sample_positions)
+    kw = dict(span_cap=cfg.span_cap, big_capacity=cfg.big_capacity,
+              clear_depth=cfg.clear_depth, with_attrs=True, pass_geom=pg)
+    d_s, w_s, g_s, _ = raster_pallas.rasterize_tiles(
+        setup, 96, 72, 8, 128, samples, **kw)
+    d_p, w_p, g_p, _ = raster_pallas.rasterize_tiles(
+        setup, 96, 72, 8, 128, samples, attr_px=True, **kw)
+    np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_p))
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_p))
+    # Oracle: first covered sample's per-sample attribute rows.
+    cov = np.asarray(w_s) >= 0                       # [S, H, W]
+    g_s = np.asarray(g_s)                            # [S, 16, H, W]
+    sel = g_s[0].copy()
+    cov_any = cov[0].copy()
+    for si in range(1, cov.shape[0]):
+        use = (~cov_any) & cov[si]
+        sel = np.where(use[None], g_s[si], sel)
+        cov_any |= cov[si]
+    g_p = np.asarray(g_p)                            # [16, H, W]
+    import metalrenderer_tpu.raster.raster_pallas as rp
+    rows = [r for r in range(rp.GOUT_ROWS) if r != rp.ROW_DEPTH]
+    np.testing.assert_allclose(g_p[rows][:, cov_any],
+                               sel[rows][:, cov_any], atol=1e-5)

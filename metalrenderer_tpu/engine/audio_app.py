@@ -66,6 +66,20 @@ def default_camera(width=800, height=600) -> OrbitCamera:
     return OrbitCamera(aspect=float(width) / float(height))
 
 
+def grass_texture():
+    """The bundled Metal-Tutorial grass texture as a mip pyramid.
+
+    The reference ships assets/mc_grass.jpeg and loads it with stb_image
+    (Texture.cpp:3-24) — the latent textured-cube capability SURVEY L4
+    requires restoring. The repo bundles a lossless PNG conversion so
+    PIL-less hosts decode it with the built-in PNG reader.
+    """
+    import pathlib
+    from ..io.textures import load_texture
+    root = pathlib.Path(__file__).resolve().parents[2]
+    return load_texture(root / "assets" / "mc_grass.png")
+
+
 def render_audio_app(cube_position=(0.0, 0.0, -1.0),
                      light_position=(0.0, 2.0, 0.0),
                      light_color=(1.0, 1.0, 1.0),
@@ -73,9 +87,11 @@ def render_audio_app(cube_position=(0.0, 0.0, -1.0),
                      camera: OrbitCamera = None,
                      config: RenderConfig = RenderConfig(),
                      shadow_config: ShadowConfig = ShadowConfig(),
-                     backend="reference"):
+                     backend="reference", textures=(),
+                     cube_texture_id=-1):
     """One AudioApp frame; returns (framebuffer, stats)."""
-    scene = build_scene(cube_position, light_position, light_color)
+    scene = build_scene(cube_position, light_position, light_color,
+                        textures=textures, cube_texture_id=cube_texture_id)
     if camera is None:
         camera = default_camera(config.width, config.height)
     lighting = Lighting(

@@ -70,7 +70,7 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif ftype == 1:  # Sub
             for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
         elif ftype == 2:  # Up
             line = (line.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average

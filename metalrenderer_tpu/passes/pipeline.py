@@ -72,8 +72,13 @@ def _wants_shadow(scene: Scene):
 
 
 def _raster_gbuffer_reference(setup, pg: PassGeometry, config: RenderConfig):
+    # anchor: evaluate with the Pallas kernel's tile-relative plane
+    # arithmetic so z-fight pixels (interpenetrating surfaces) resolve
+    # to the same winner in both backends — they are ULP-arbitrary
+    # otherwise and capped config 2's TPU parity at 39 dB.
     depth, winner = reference_cpu.rasterize_brute_force(
-        setup, config.width, config.height, config.sample_positions
+        setup, config.width, config.height, config.sample_positions,
+        anchor=(config.tile_w, config.tile_h)
     )
     return reference_cpu.interpolate_gbuffer(
         setup, winner, config.width, config.height, config.sample_positions,
@@ -83,8 +88,9 @@ def _raster_gbuffer_reference(setup, pg: PassGeometry, config: RenderConfig):
     )
 
 
-def _raster_depth_reference(setup, size):
-    return reference_cpu.rasterize_depth_brute_force(setup, size, size)
+def _raster_depth_reference(setup, size, anchor=None):
+    return reference_cpu.rasterize_depth_brute_force(setup, size, size,
+                                                     anchor=anchor)
 
 
 def _get_backend(name):
@@ -143,7 +149,9 @@ def render_frame(scene: Scene, camera, lighting,
             depth_map = depth_sm[0]
             stats["shadow_big_dropped"] = sstats["big_dropped"]
         else:
-            depth_map = raster_depth(setup_l, config.shadow_map_size)
+            depth_map = raster_depth(
+                setup_l, config.shadow_map_size,
+                anchor=(config.shadow_tile_w, config.shadow_tile_h))
             stats["shadow_big_dropped"] = jnp.zeros((), jnp.int32)
         shadow_ctx = ShadowContext(
             depth_map=depth_map, light_view=light_view, light_proj=light_proj)

@@ -168,11 +168,14 @@ class TileBins:
     # --- blocked operands (stay in HBM; kernel DMAs per chunk) ---
     chunks: jnp.ndarray          # f32[MC, 4, COLS] (row 3 = pad)
     attr_chunks: jnp.ndarray     # f32[MC, 4, ATTR_COLS] or None
-    # --- big list ---
-    big_chunks: jnp.ndarray      # f32[BC, 4, COLS]
-    big_attr_chunks: jnp.ndarray  # f32[BC, 4, ATTR_COLS] or None
-    big_live: jnp.ndarray        # i32[BC] live entries per big chunk
-    big_aabb: jnp.ndarray        # i32[BC*4] union xmin,ymin,xmax,ymax
+    # --- big list (scalar-prefetch SMEM arrays, one TRIANGLE at a time:
+    # a 32-lane chunk carrying 2-3 live floor triangles wastes ~10x the
+    # vector work of evaluating each triangle's planes as scalars over
+    # the whole band) ---
+    big_tri: jnp.ndarray         # f32[BCAP*17] per-tri vis fields, flat
+    big_attr: jnp.ndarray        # f32[BCAP*48] comp-major attrs or None
+    big_tri_aabb: jnp.ndarray    # i32[BCAP*4] per-tri xmin,ymin,xmax,ymax
+    big_n: jnp.ndarray           # i32[1] live big-triangle count
     num_big_dropped: jnp.ndarray  # i32[] overflow beyond capacity
 
 
@@ -287,60 +290,50 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
         [band_start[1:], ends[-1:].astype(jnp.int32)])
 
     # --- big list -----------------------------------------------------------
-    bc = -(-big_capacity // CHUNK)
-    order = jnp.argsort(~big, stable=True)
+    # Per-TRIANGLE scalar arrays (kernel reads them from SMEM and
+    # evaluates each live big triangle's planes as scalar-broadcast FMAs
+    # over the whole band — no lane padding, no chunk DMA).
+    order = jnp.argsort(~big, stable=True)               # live-first, by tid
     cap = min(big_capacity, T)
     big_ids = order[:cap].astype(jnp.int32)
     big_is_live = big[big_ids]
     big_fields = fields[big_ids]
     big_fields = big_fields.at[:, 15].set(
         jnp.where(big_is_live, big_fields[:, 15], 0.0))
-    pad = bc * CHUNK - cap
+    pad = big_capacity - cap
     if pad:
         big_fields = jnp.concatenate(
             [big_fields, jnp.zeros((pad, n_fields), jnp.float32)])
-    big_chunks = _fields_to_chunks(big_fields[:, :VIS_FIELDS])
+    big_tri = big_fields[:, :VIS_FIELDS].reshape(-1)
     if attr_fields is not None:
         big_attr = attr_fields[big_ids]
         if pad:
             big_attr = jnp.concatenate(
                 [big_attr, jnp.zeros((pad, ATTR_FIELDS), jnp.float32)])
-        big_attr_chunks = _attr_fields_to_chunks(big_attr)
+        big_attr = big_attr.reshape(-1)
     else:
-        big_attr_chunks = None
+        big_attr = None
     n_big = jnp.sum(big.astype(jnp.int32))
-    big_live_n = jnp.clip(
-        jnp.minimum(n_big, cap) - jnp.arange(bc, dtype=jnp.int32) * CHUNK,
-        0, CHUNK).astype(jnp.int32)
 
-    # Union AABB per big chunk (tile-level trivial reject in the kernel).
-    live_mask = big_is_live
-    bxmin = jnp.where(live_mask, setup.aabb[big_ids, 0], jnp.inf)
-    bymin = jnp.where(live_mask, setup.aabb[big_ids, 1], jnp.inf)
-    bxmax = jnp.where(live_mask, setup.aabb[big_ids, 2], -jnp.inf)
-    bymax = jnp.where(live_mask, setup.aabb[big_ids, 3], -jnp.inf)
+    # Per-triangle AABB (band-level trivial reject in the kernel). Dead
+    # slots get an empty extent.
+    baabb = setup.aabb[big_ids]                          # [cap, 4]
+    baabb = jnp.stack([
+        jnp.floor(baabb[:, 0]), jnp.floor(baabb[:, 1]),
+        jnp.ceil(baabb[:, 2]), jnp.ceil(baabb[:, 3])], axis=1)
+    baabb = jnp.where(big_is_live[:, None], baabb, 0.0)
     if pad:
-        padinf = jnp.full((pad,), jnp.inf)
-        bxmin = jnp.concatenate([bxmin, padinf])
-        bymin = jnp.concatenate([bymin, padinf])
-        bxmax = jnp.concatenate([bxmax, -padinf])
-        bymax = jnp.concatenate([bymax, -padinf])
-    def per_chunk(v, red):
-        return red(v.reshape(bc, CHUNK), axis=1)
-    big_aabb = jnp.stack([
-        jnp.floor(per_chunk(bxmin, jnp.min)),
-        jnp.floor(per_chunk(bymin, jnp.min)),
-        jnp.ceil(per_chunk(bxmax, jnp.max)),
-        jnp.ceil(per_chunk(bymax, jnp.max)),
-    ], axis=1)  # [BC, 4]
-    big_aabb = jnp.where(jnp.isfinite(big_aabb), big_aabb, 0.0)
-    big_aabb = jnp.clip(big_aabb, -2**30, 2**30).astype(jnp.int32).reshape(-1)
+        baabb = jnp.concatenate(
+            [baabb, jnp.zeros((pad, 4), jnp.float32)])
+    big_tri_aabb = jnp.clip(
+        baabb, -2**30, 2**30).astype(jnp.int32).reshape(-1)
 
     return TileBins(
         band_start=band_start, band_end=band_end,
         sub_of_chunk=sub_of_chunk,
         chunks=chunks, attr_chunks=attr_chunks,
-        big_chunks=big_chunks, big_attr_chunks=big_attr_chunks,
-        big_live=big_live_n, big_aabb=big_aabb,
+        big_tri=big_tri, big_attr=big_attr,
+        big_tri_aabb=big_tri_aabb,
+        big_n=jnp.minimum(n_big, cap).astype(jnp.int32).reshape(1),
         num_big_dropped=jnp.maximum(n_big - cap, 0).astype(jnp.int32),
     )

@@ -75,7 +75,7 @@ def _cdiv(a, b):
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 n_big_chunks, with_attrs, attr_px=False):
+                 with_attrs, attr_px=False):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
@@ -340,15 +340,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                      pl.ds(lane_off, p8w)] = \
                 depth_blk[:, pl.ds(lane_off, p8w)]
 
-    def kernel(band_start, band_end, sub_of_chunk, big_live, big_aabb,
-               *refs):
+    def kernel(*args):
         if with_attrs:
-            (chunks_hbm, attrs_hbm, big_ref, bigattr_ref,
-             depth_out, win_out, gout, cbuf, abuf, sems) = refs
+            (band_start, band_end, sub_of_chunk, big_n, big_tri,
+             big_attr, big_aabb, chunks_hbm, attrs_hbm,
+             depth_out, win_out, gout, cbuf, abuf, sems) = args
             outs = (depth_out, win_out, gout)
         else:
-            (chunks_hbm, big_ref, depth_out, win_out,
-             cbuf, sems) = refs
+            (band_start, band_end, sub_of_chunk, big_n, big_tri,
+             big_aabb, chunks_hbm, depth_out, win_out,
+             cbuf, sems) = args
             outs = (depth_out, win_out)
 
         b = pl.program_id(0)
@@ -404,41 +405,168 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
         jax.lax.fori_loop(0, n, body, 0)
 
-        # Big triangles: after the binned list (documented tie-break
-        # deviation), per big chunk over the subtiles its AABB overlaps.
-        # A DYNAMIC loop over big chunks: one copy of process_chunk in
-        # the program instead of n_big_chunks unrolled copies — compile
-        # time is a first-order constraint on this platform (config 5's
-        # 1M-tri program) and the big path is rarely hot.
+        # Big triangles (span > cap): after the binned list (documented
+        # tie-break deviation), ONE triangle at a time over the WHOLE
+        # band, its 17 visibility fields (+45 attr-plane coefficients)
+        # read from SMEM and broadcast as scalars. A 32-lane chunk
+        # carrying the typical 2-3 live floor triangles wastes >10x the
+        # vector work; the scalar path pays exactly n_live triangles x
+        # band lanes and needs no chunk DMA at all.
         y0 = b * tile_h
+        bw = ntx * p8w
 
-        def big_body(bc, _):
-            bx0 = big_aabb[bc * 4 + 0]
-            by0 = big_aabb[bc * 4 + 1]
-            bx1 = big_aabb[bc * 4 + 2]
-            by1 = big_aabb[bc * 4 + 3]
-            # Half-open extents: the AABB's x1/y1 are exclusive (ceil of
-            # the float max), so the last covered row/subtile is at -1.
-            overlap_y = (big_live[bc] > 0) & (by0 < y0 + tile_h) & \
-                (by1 > y0)
-            sx0 = jnp.clip(bx0 // tile_w, 0, ntx - 1)
-            sx1 = jnp.clip((bx1 - 1) // tile_w, 0, ntx - 1)
+        @pl.when(big_n[0] > 0)
+        def _():
+            # Folded-band coordinate planes (computed once per band):
+            # sublane r, lane sub*p8w + c hold sample flat = r*p8w + c of
+            # subtile sub -> sample flat//P, pixel flat%P.
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, bw), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, bw), 1)
+            c_in = jax.lax.rem(lane, p8w)
+            flat = r8 * p8w + c_in
+            s_i = flat // P
+            p_i = jax.lax.rem(flat, P)
+            offx = sample_select(s_i, [o[0] for o in sample_offsets])
+            offy = sample_select(s_i, [o[1] for o in sample_offsets])
+            # Tile-relative coords + subtile-base plane: same anchoring
+            # (and FMA structure) as process_chunk, so plane evaluation
+            # rounds identically to the chunk path.
+            xr = jax.lax.rem(p_i, tile_w).astype(jnp.float32) + offx
+            yr = (p_i // tile_w).astype(jnp.float32) + offy
+            x0l = ((lane // p8w) * tile_w).astype(jnp.float32)
 
-            @pl.when(overlap_y)
-            def _():
-                # Column extraction hoisted: one set of mat-vecs per big
-                # chunk per band, not per overlapped subtile.
-                cols = prep_cols(big_ref[bc],
-                                 bigattr_ref[bc] if with_attrs else None)
+            def tri_body(t, _):
+                f = t * 17
+                a0, b0, c0 = big_tri[f + 0], big_tri[f + 1], big_tri[f + 2]
+                a1, b1, c1 = big_tri[f + 3], big_tri[f + 4], big_tri[f + 5]
+                a2, b2, c2 = big_tri[f + 6], big_tri[f + 7], big_tri[f + 8]
+                az, bz, cz = big_tri[f + 9], big_tri[f + 10], big_tri[f + 11]
+                tl0, tl1, tl2 = (big_tri[f + 12], big_tri[f + 13],
+                                 big_tri[f + 14])
+                vld = big_tri[f + 15]
+                tid = big_tri[f + 16]
+                by0 = big_aabb[t * 4 + 1]
+                by1 = big_aabb[t * 4 + 3]
+                ov = (vld > 0.0) & (by0 < y0 + tile_h) & (by1 > y0)
 
-                def bbody(s, _):
-                    process_chunk(cols, s, oy, outs)
-                    return 0
-                jax.lax.fori_loop(sx0, sx1 + 1, bbody, 0)
-            return 0
+                @pl.when(ov)
+                def _():
+                    def ev(a, bq, c):
+                        cof = (c + a * x0l) + bq * oy
+                        return (a * xr + bq * yr) + cof
 
-        if n_big_chunks:
-            jax.lax.fori_loop(0, n_big_chunks, big_body, 0)
+                    e0v = ev(a0, b0, c0)
+                    e1v = ev(a1, b1, c1)
+                    e2v = ev(a2, b2, c2)
+                    zv = ev(az, bz, cz)
+                    # and/or form: Mosaic cannot legalize arith.select on
+                    # i1 vectors (same class as the i8->i1 trunci trap).
+                    cov = (
+                        ((e0v > 0.0) | ((e0v == 0.0) & (tl0 > 0.0)))
+                        & ((e1v > 0.0) | ((e1v == 0.0) & (tl1 > 0.0)))
+                        & ((e2v > 0.0) | ((e2v == 0.0) & (tl2 > 0.0)))
+                    )
+                    ok = cov & (zv >= 0.0) & (zv <= 1.0)
+                    zb = depth_blk_full()
+                    take = ok & (zv <= zb)
+                    depth_set(jnp.where(take, zv, zb))
+                    win_set(jnp.where(take, tid.astype(jnp.int32),
+                                      win_full()))
+
+                    if with_attrs and attr_px:
+                        big_attr_px(t, take)
+                    elif with_attrs:
+                        big_attr_ps(t, take)
+                return 0
+
+            def depth_blk_full():
+                return outs[0][...]
+
+            def depth_set(v):
+                outs[0][...] = v
+
+            def win_full():
+                return outs[1][...]
+
+            def win_set(v):
+                outs[1][...] = v
+
+            def big_attr_ps(t, take):
+                """Per-sample gout update with scalar attr planes
+                (absolute coords, same expression as gather_coef path)."""
+                gout_ref = outs[2]
+                xs_abs = x0l + xr
+                ys_abs = oy + yr
+                af = t * (3 * 16)
+                for g in range(ATTR_GROUPS):
+                    ag = big_attr[af + g]
+                    bg = big_attr[af + 16 + g]
+                    cg = big_attr[af + 32 + g]
+                    val = ag * xs_abs + bg * ys_abs + cg
+                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :]
+                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :] = \
+                        jnp.where(take, val, old)
+                gout_ref[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
+                         :] = depth_blk_full()
+
+            def big_attr_px(t, take):
+                """Per-pixel (attr_px) gout update: first-covered-sample
+                selection rebuilt in PIXEL layout from band strips, then
+                scalar plane evaluation at the selected sample coords —
+                mirrors the chunk path's semantics exactly, without
+                gathers (the winner IS this triangle)."""
+                gout_ref = outs[2]
+                pw = ntx * tile_w
+                covb = (win_full() >= 0).astype(jnp.float32)  # post-update
+                takef = take.astype(jnp.float32)
+
+                def px_plane(x8, s):
+                    """[TILE8_H, pw] pixel-layout view of sample s."""
+                    rows = []
+                    for pr in range(TILE8_H):
+                        r = (TILE8_H * s + pr) // n_samples
+                        c = ((TILE8_H * s + pr) % n_samples) * tile_w
+                        rows.append(jnp.concatenate(
+                            [x8[r:r + 1,
+                                sub * p8w + c:sub * p8w + c + tile_w]
+                             for sub in range(ntx)], axis=1))
+                    return jnp.concatenate(rows, axis=0)
+
+                offs = sample_offsets
+                sel_cov = px_plane(covb, 0)
+                cnt = sel_cov
+                sel_take = px_plane(takef, 0)
+                sel_ox = jnp.full((TILE8_H, pw), jnp.float32(offs[0][0]))
+                sel_oy = jnp.full((TILE8_H, pw), jnp.float32(offs[0][1]))
+                for s in range(1, n_samples):
+                    cs = px_plane(covb, s)
+                    use = cs * (1.0 - sel_cov)
+                    keep = 1.0 - use
+                    sel_take = use * px_plane(takef, s) + keep * sel_take
+                    sel_ox = use * jnp.float32(offs[s][0]) + keep * sel_ox
+                    sel_oy = use * jnp.float32(offs[s][1]) + keep * sel_oy
+                    sel_cov = jnp.maximum(sel_cov, cs)
+                    cnt = cnt + cs
+                upd = sel_cov * sel_take
+                xpix = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE8_H, pw), 1).astype(jnp.float32)
+                ypix = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE8_H, pw), 0).astype(jnp.float32) + oy
+                sxp = xpix + sel_ox
+                syp = ypix + sel_oy
+                af = t * (3 * 16)
+                for g in range(ATTR_GROUPS):
+                    ag = big_attr[af + g]
+                    bg = big_attr[af + 16 + g]
+                    cg = big_attr[af + 32 + g]
+                    val = ag * sxp + bg * syp + cg
+                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :]
+                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :] = \
+                        upd * val + (1.0 - upd) * old
+                gout_ref[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
+                         :] = cnt
+
+            jax.lax.fori_loop(0, big_n[0], tri_body, 0)
 
     return kernel
 
@@ -482,23 +610,15 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     n_samples = len(sample_offsets)
     SP = n_samples * P
     p8w = SP // TILE8_H
-    n_big_chunks = bins.big_chunks.shape[0]
 
     kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
-                          clear_depth, n_big_chunks, with_attrs, attr_px)
+                          clear_depth, with_attrs, attr_px)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]    # chunks stay in HBM
     operands = [bins.chunks]
     if with_attrs:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         operands.append(bins.attr_chunks)
-    in_specs.append(pl.BlockSpec((n_big_chunks, 4, COLS),
-                                 lambda b, *refs: (0, 0, 0)))
-    operands.append(bins.big_chunks)
-    if with_attrs:
-        in_specs.append(pl.BlockSpec((n_big_chunks, 4, ATTR_COLS),
-                                     lambda b, *refs: (0, 0, 0)))
-        operands.append(bins.big_attr_chunks)
 
     out_block = lambda r: pl.BlockSpec(
         (None, r, ntx * p8w), lambda b, *refs: (b, 0, 0))
@@ -524,8 +644,17 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         scratch.append(pltpu.VMEM((2, 4, ATTR_COLS), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
+    # Big-triangle fields ride as SCALAR PREFETCH (SMEM): the kernel
+    # reads each live big triangle's planes as scalars and broadcasts —
+    # no chunk padding, no DMA. Order must match the kernel unpack.
+    scalars = [bins.band_start, bins.band_end, bins.sub_of_chunk,
+               bins.big_n, bins.big_tri]
+    if with_attrs:
+        scalars.append(bins.big_attr)
+    scalars.append(bins.big_tri_aabb)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=len(scalars),
         grid=(nty,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -537,8 +666,7 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_should_interpret(),
-    )(bins.band_start, bins.band_end, bins.sub_of_chunk,
-      bins.big_live, bins.big_aabb, *operands)
+    )(*scalars, *operands)
 
     # Undo the dense [8, SP/8] per-subtile layout: sublane r, lane c of a
     # subtile block hold flat = r*(SP/8)+c -> sample flat//P, pixel flat%P.

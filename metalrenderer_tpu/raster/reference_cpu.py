@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .geometry import TriangleSetup
+from .geometry import TriangleSetup, scalar_planes
 from .shade import GBuffer
 
 
@@ -33,22 +33,68 @@ def _sample_grid(width, height, sample_positions):
     return sx, sy
 
 
+def _anchored_grid(width, height, sample_positions, anchor):
+    """Tile-anchored coordinates matching the Pallas kernel's plane
+    arithmetic: (tile-relative sample coords xr/yr, tile bases ox/oy),
+    all f32[S, H, W]. anchor = (tile_w, tile_h)."""
+    tile_w, tile_h = anchor
+    ys = jnp.arange(height, dtype=jnp.int32)
+    xs = jnp.arange(width, dtype=jnp.int32)
+    pyi, pxi = jnp.meshgrid(ys, xs, indexing="ij")
+    offs = jnp.asarray(sample_positions, jnp.float32)  # [S, 2] (x, y)
+    xr = (pxi % tile_w).astype(jnp.float32)[None] + offs[:, 0][:, None, None]
+    yr = (pyi % tile_h).astype(jnp.float32)[None] + offs[:, 1][:, None, None]
+    ox = ((pxi // tile_w) * tile_w).astype(jnp.float32)[None] \
+        + jnp.zeros_like(offs[:, 0])[:, None, None]
+    oy = ((pyi // tile_h) * tile_h).astype(jnp.float32)[None] \
+        + jnp.zeros_like(offs[:, 1])[:, None, None]
+    return xr, yr, ox, oy
+
+
 def rasterize_brute_force(setup: TriangleSetup, width, height,
-                          sample_positions):
-    """Visibility: returns (depth f32[S,H,W], winner i32[S,H,W]; -1 = none)."""
-    sx, sy = _sample_grid(width, height, sample_positions)
+                          sample_positions, anchor=None):
+    """Visibility: returns (depth f32[S,H,W], winner i32[S,H,W]; -1 = none).
+
+    ``anchor=(tile_w, tile_h)`` evaluates edge/z PLANES with the exact
+    tile-relative FMA association of the Pallas band kernel
+    (raster_pallas.process_chunk), so depth rounds bit-identically and
+    z-fighting pixels of interpenetrating surfaces resolve to the SAME
+    winner in both backends (they are genuinely arbitrary otherwise —
+    config 2's whole 39 dB TPU residual was 15 such pixels). ``None``
+    keeps the independent direct-barycentric formulation, which
+    cross-checks the plane math everywhere except exact-tie ULPs.
+    """
+    if anchor is not None:
+        xr, yr, ox, oy = _anchored_grid(width, height, sample_positions,
+                                        anchor)
+
+        def eval_plane(a, b, c):
+            # Same association as the kernel: ((c + a*ox) + b*oy) then
+            # ((a*xr + b*yr)) + c_adj.
+            c_adj = (c + a * ox) + b * oy
+            return (a * xr + b * yr) + c_adj
+    else:
+        sx, sy = _sample_grid(width, height, sample_positions)
 
     def body(carry, tri):
         zbuf, win = carry
-        edge, top_left, z, inv_area, valid, idx = tri
-        e = edge[:, 0, None, None, None] * sx + \
-            edge[:, 1, None, None, None] * sy + edge[:, 2, None, None, None]
+        if anchor is not None:
+            edge, top_left, zpl, valid, idx = tri
+            e = jnp.stack([eval_plane(edge[k, 0], edge[k, 1], edge[k, 2])
+                           for k in range(3)])
+            zp = eval_plane(zpl[0], zpl[1], zpl[2])
+        else:
+            edge, top_left, z, inv_area, valid, idx = tri
+            e = edge[:, 0, None, None, None] * sx + \
+                edge[:, 1, None, None, None] * sy + \
+                edge[:, 2, None, None, None]
         cov_edges = jnp.where(top_left[:, None, None, None], e >= 0.0, e > 0.0)
         cov = cov_edges[0] & cov_edges[1] & cov_edges[2]
-        lam0 = e[1] * inv_area
-        lam1 = e[2] * inv_area
-        lam2 = e[0] * inv_area
-        zp = lam0 * z[0] + lam1 * z[1] + lam2 * z[2]
+        if anchor is None:
+            lam0 = e[1] * inv_area
+            lam1 = e[2] * inv_area
+            lam2 = e[0] * inv_area
+            zp = lam0 * z[0] + lam1 * z[1] + lam2 * z[2]
         # Metal clip volume: 0 <= z <= w -> NDC z in [0, 1].
         mask = cov & valid & (zp >= 0.0) & (zp <= 1.0) & (zp <= zbuf)
         zbuf = jnp.where(mask, zp, zbuf)
@@ -56,12 +102,17 @@ def rasterize_brute_force(setup: TriangleSetup, width, height,
         return (zbuf, win), None
 
     n = setup.valid.shape[0]
+    shape = (len(sample_positions), height, width)
     init = (
-        jnp.ones_like(sx),                       # clear depth 1.0
-        jnp.full(sx.shape, -1, jnp.int32),
+        jnp.ones(shape, jnp.float32),            # clear depth 1.0
+        jnp.full(shape, -1, jnp.int32),
     )
-    tris = (setup.edge, setup.top_left, setup.z, setup.inv_area, setup.valid,
-            jnp.arange(n, dtype=jnp.int32))
+    if anchor is not None:
+        tris = (setup.edge, setup.top_left, scalar_planes(setup, setup.z),
+                setup.valid, jnp.arange(n, dtype=jnp.int32))
+    else:
+        tris = (setup.edge, setup.top_left, setup.z, setup.inv_area,
+                setup.valid, jnp.arange(n, dtype=jnp.int32))
     (zbuf, win), _ = jax.lax.scan(body, init, tris)
     return zbuf, win
 
@@ -127,8 +178,10 @@ def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
     )
 
 
-def rasterize_depth_brute_force(setup: TriangleSetup, width, height):
+def rasterize_depth_brute_force(setup: TriangleSetup, width, height,
+                                anchor=None):
     """Depth-only pass (shadow map): single center sample, clear depth 1.0
     (createShadowPassDescriptor, mtl_engine.mm:623-634)."""
-    depth, _ = rasterize_brute_force(setup, width, height, ((0.5, 0.5),))
+    depth, _ = rasterize_brute_force(setup, width, height, ((0.5, 0.5),),
+                                     anchor=anchor)
     return depth[0]

@@ -88,6 +88,37 @@ def test_audio_app_pallas_backend_bit_exact():
     assert psnr >= 60.0, psnr
 
 
+def _crossing_quads():
+    """Two interpenetrating quads whose depths cross at x=0: every pixel
+    near the intersection line is a z-fight (|zA - zB| ~ ULP)."""
+    def quad(z_left, z_right):
+        v = np.array([
+            [-0.9, -0.8, z_left], [0.9, -0.8, z_right], [0.9, 0.8, z_right],
+            [-0.9, -0.8, z_left], [0.9, 0.8, z_right], [-0.9, 0.8, z_left],
+        ], np.float32)
+        return np.concatenate([v, np.ones((6, 1), np.float32)],
+                              axis=1).reshape(2, 3, 4)
+
+    return jnp.asarray(np.concatenate([quad(0.3, 0.7), quad(0.7, 0.3)]))
+
+
+def test_anchored_oracle_matches_kernel_on_zfights():
+    """The anchored oracle (tile-relative plane FMAs, kernel arithmetic)
+    must agree with the Pallas kernel EXACTLY — including depth bits and
+    winners on z-fighting pixels of interpenetrating surfaces (the class
+    that capped config 2's TPU parity at 39 dB)."""
+    s = setup_triangles(_crossing_quads(), 256, 128, cull_backfaces=False)
+    d0, w0 = reference_cpu.rasterize_brute_force(s, 256, 128, CENTER,
+                                                 anchor=(128, 8))
+    d1, w1, _, _ = raster_pallas.rasterize_tiles(s, 256, 128, 8, 128, CENTER)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    # The unanchored (barycentric) oracle rounds depth differently —
+    # if its BITS matched too, this test would prove nothing.
+    d2, _ = reference_cpu.rasterize_brute_force(s, 256, 128, CENTER)
+    assert np.any(np.asarray(d2) != np.asarray(d1))
+
+
 def test_attr_px_matches_first_covered_selection():
     """In-kernel per-pixel attributes (attr_px) == selecting the first
     covered sample from the per-sample gout (shade._select_first_covered

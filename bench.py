@@ -30,7 +30,7 @@ from metalrenderer_tpu.utils import profiling
 
 WIDTH, HEIGHT = 1920, 1080
 TARGET_MPIX_S = 1000.0  # north star: 1 Gpixel shaded/s/chip
-FRAMES = 32
+FRAMES = 128
 REPS = 3
 
 

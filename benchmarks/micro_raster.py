@@ -22,7 +22,7 @@ from metalrenderer_tpu.raster import raster_pallas
 from metalrenderer_tpu.passes.pipeline import prepare_main_pass
 
 WIDTH, HEIGHT = 1920, 1080
-FRAMES = 16
+FRAMES = 64
 REPS = 3
 
 
@@ -33,7 +33,7 @@ def checksum(tree):
     return sum(leaves)
 
 
-def time_variant(name, msaa, with_attrs):
+def time_variant(name, msaa, with_attrs, attr_px=False, span_cap=None):
     config = RenderConfig(width=WIDTH, height=HEIGHT, msaa=msaa)
     camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2,
                          aspect=WIDTH / HEIGHT)
@@ -47,9 +47,10 @@ def time_variant(name, msaa, with_attrs):
         depth, winner, gout, _ = raster_pallas.rasterize_tiles(
             setup, config.width, config.height, config.tile_h,
             config.tile_w, tuple(config.sample_positions),
-            span_cap=config.span_cap, big_capacity=config.big_capacity,
+            span_cap=(config.span_cap if span_cap is None else span_cap),
+            big_capacity=config.big_capacity,
             clear_depth=config.clear_depth, with_attrs=with_attrs,
-            pass_geom=pg if with_attrs else None)
+            pass_geom=pg if with_attrs else None, attr_px=attr_px)
         if with_attrs:
             return checksum((depth, winner, gout))
         return checksum((depth, winner))
@@ -75,10 +76,24 @@ def time_variant(name, msaa, with_attrs):
 
 def main():
     out = {}
-    out["attrs_msaa4"] = time_variant("attrs msaa4 (production)", 4, True)
-    out["noattrs_msaa4"] = time_variant("no-attrs msaa4", 4, False)
-    out["attrs_msaa1"] = time_variant("attrs msaa1", 1, True)
-    out["noattrs_msaa1"] = time_variant("no-attrs msaa1", 1, False)
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+        "attr_px_msaa4", "attrs_msaa4", "noattrs_msaa4"]
+    runners = {
+        "attr_px_msaa4": lambda: time_variant(
+            "attr_px msaa4 (production)", 4, True, attr_px=True),
+        "attr_px_allchunk": lambda: time_variant(
+            "attr_px msaa4 span_cap=1000 (no big path)", 4, True,
+            attr_px=True, span_cap=1000),
+        "noattr_allchunk": lambda: time_variant(
+            "no-attrs msaa4 span_cap=1000", 4, False, span_cap=1000),
+        "attrs_msaa4": lambda: time_variant(
+            "attrs per-sample msaa4", 4, True),
+        "noattrs_msaa4": lambda: time_variant("no-attrs msaa4", 4, False),
+        "attrs_msaa1": lambda: time_variant("attrs msaa1", 1, True),
+        "noattrs_msaa1": lambda: time_variant("no-attrs msaa1", 1, False),
+    }
+    for n in names:
+        out[n] = runners[n]()
     print(json.dumps(out))
 
 

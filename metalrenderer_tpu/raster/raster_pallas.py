@@ -94,6 +94,50 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         return jnp.concatenate(
             [row[:, r * p8w:(r + 1) * p8w] for r in range(TILE8_H)], axis=0)
 
+    def pxv(x8, s, pr):
+        """[1, tile_w] view of (sample s, tile row pr) inside a folded
+        [8, p8w] subtile block. Static 8-sublane / 128-lane-aligned
+        slices only."""
+        r = (TILE8_H * s + pr) // n_samples
+        c = ((TILE8_H * s + pr) % n_samples) * tile_w
+        return x8[r:r + 1, c:c + tile_w]
+
+    def first_cov_select(cov8f, extra):
+        """Per-pixel FIRST-COVERED-SAMPLE selection from folded [8, p8w]
+        f32 planes (Metal fragment semantics — pure f32 arithmetic:
+        Mosaic cannot lower boolean vectors on 1-sublane strips).
+
+        ``extra``: planes to select at that sample. Returns [8, tile_w]
+        pixel-layout (sel_cov, cnt, sel_ox, sel_oy, [sel_extra...])."""
+        offs = sample_offsets
+        rows_cov, rows_cnt, rows_ox, rows_oy = [], [], [], []
+        out_rows = [[] for _ in extra]
+        for pr in range(TILE8_H):
+            sel_cov = pxv(cov8f, 0, pr)
+            cnt = pxv(cov8f, 0, pr)
+            sels = [pxv(e, 0, pr) for e in extra]
+            sel_ox = jnp.full((1, tile_w), jnp.float32(offs[0][0]))
+            sel_oy = jnp.full((1, tile_w), jnp.float32(offs[0][1]))
+            for s in range(1, n_samples):
+                cs = pxv(cov8f, s, pr)
+                use = cs * (1.0 - sel_cov)               # cs & ~sel_cov
+                keep = 1.0 - use
+                sels = [use * pxv(e, s, pr) + keep * sv
+                        for e, sv in zip(extra, sels)]
+                sel_ox = use * jnp.float32(offs[s][0]) + keep * sel_ox
+                sel_oy = use * jnp.float32(offs[s][1]) + keep * sel_oy
+                sel_cov = jnp.maximum(sel_cov, cs)       # sel_cov | cs
+                cnt = cnt + cs
+            rows_cov.append(sel_cov)
+            rows_cnt.append(cnt)
+            rows_ox.append(sel_ox)
+            rows_oy.append(sel_oy)
+            for k, sv in enumerate(sels):
+                out_rows[k].append(sv)
+        cat = lambda rs: jnp.concatenate(rs, axis=0)
+        return (cat(rows_cov), cat(rows_cnt), cat(rows_ox), cat(rows_oy),
+                [cat(r) for r in out_rows])
+
     def prep_cols(mm, amm):
         """Per-chunk column extraction, HOISTED out of the subtile loop
         (big chunks are reprocessed by every overlapped subtile; the
@@ -210,54 +254,22 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             wl = jnp.max(cand, axis=0, keepdims=True)    # [1, SP] i32
             wl8 = to8(jnp.maximum(wl, 0))
             # All masks become f32 at the full [8, p8w] shape BEFORE any
-            # [1, tile_w] strip is cut: Mosaic cannot lower boolean
-            # vectors on 1-sublane strips (i8->i1 trunci is unsupported),
-            # so the per-sample selection below is pure f32 arithmetic.
+            # [1, tile_w] strip is cut (first_cov_select docstring).
             cov8f = (win_blk[:, pl.ds(lane_off, p8w)] >= 0).astype(
                 jnp.float32)                             # post-update
             take8f = take8.astype(jnp.float32)
             wl8f = wl8.astype(jnp.float32)               # ids < 2^24: exact
 
-            def pxv(x8, s, pr):
-                """[1, tile_w] view of (sample s, tile row pr) inside a
-                folded [8, p8w] subtile block. Static 8-sublane /
-                128-lane-aligned slices only."""
-                r = (TILE8_H * s + pr) // n_samples
-                c = ((TILE8_H * s + pr) % n_samples) * tile_w
-                return x8[r:r + 1, c:c + tile_w]
-
-            offs = sample_offsets
-            rows_upd, rows_wl, rows_ox, rows_oy, rows_cnt = [], [], [], [], []
-            for pr in range(TILE8_H):
-                sel_cov = pxv(cov8f, 0, pr)
-                cnt = pxv(cov8f, 0, pr)
-                sel_take = pxv(take8f, 0, pr)
-                sel_wl = pxv(wl8f, 0, pr)
-                sel_ox = jnp.full((1, tile_w), jnp.float32(offs[0][0]))
-                sel_oy = jnp.full((1, tile_w), jnp.float32(offs[0][1]))
-                for s in range(1, n_samples):
-                    cs = pxv(cov8f, s, pr)
-                    use = cs * (1.0 - sel_cov)           # cs & ~sel_cov
-                    keep = 1.0 - use
-                    sel_take = use * pxv(take8f, s, pr) + keep * sel_take
-                    sel_wl = use * pxv(wl8f, s, pr) + keep * sel_wl
-                    sel_ox = use * jnp.float32(offs[s][0]) + keep * sel_ox
-                    sel_oy = use * jnp.float32(offs[s][1]) + keep * sel_oy
-                    sel_cov = jnp.maximum(sel_cov, cs)   # sel_cov | cs
-                    cnt = cnt + cs
-                rows_upd.append(sel_cov * sel_take)
-                rows_wl.append(sel_wl)
-                rows_ox.append(sel_ox)
-                rows_oy.append(sel_oy)
-                rows_cnt.append(cnt)
-            upd8 = jnp.concatenate(rows_upd, axis=0)     # [8, tile_w] f32
-            wl8p = jnp.concatenate(rows_wl, axis=0).astype(jnp.int32)
+            sel_cov8, cnt8, sel_ox8, sel_oy8, (sel_take8, sel_wl8) = \
+                first_cov_select(cov8f, [take8f, wl8f])
+            upd8 = sel_cov8 * sel_take8                  # [8, tile_w] f32
+            wl8p = sel_wl8.astype(jnp.int32)
             sx8 = (jax.lax.broadcasted_iota(
                 jnp.int32, (TILE8_H, tile_w), 1).astype(jnp.float32)
-                + ox + jnp.concatenate(rows_ox, axis=0))
+                + ox + sel_ox8)
             sy8 = (jax.lax.broadcasted_iota(
                 jnp.int32, (TILE8_H, tile_w), 0).astype(jnp.float32)
-                + oy + jnp.concatenate(rows_oy, axis=0))
+                + oy + sel_oy8)
             lane_px = pl.multiple_of(sub * tile_w, tile_w)
 
             def gather_px(r, g):
@@ -284,8 +296,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             # production consumer never needs the per-sample winner
             # planes at all (their unfold is then dead code).
             gout_blk[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
-                     pl.ds(lane_px, tile_w)] = jnp.concatenate(
-                rows_cnt, axis=0)
+                     pl.ds(lane_px, tile_w)] = cnt8
 
         elif with_attrs:
             # Gather the WINNER's plane coefficients per pixel-sample and
@@ -406,34 +417,32 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         jax.lax.fori_loop(0, n, body, 0)
 
         # Big triangles (span > cap): after the binned list (documented
-        # tie-break deviation), ONE triangle at a time over the WHOLE
-        # band, its 17 visibility fields (+45 attr-plane coefficients)
-        # read from SMEM and broadcast as scalars. A 32-lane chunk
-        # carrying the typical 2-3 live floor triangles wastes >10x the
-        # vector work; the scalar path pays exactly n_live triangles x
-        # band lanes and needs no chunk DMA at all.
+        # tie-break deviation), ONE triangle at a time, restricted to the
+        # SUBTILES its AABB overlaps, its 17 visibility fields (+45
+        # attr-plane coefficients) read from SMEM and broadcast as
+        # scalars. A 32-lane chunk carrying the typical 2-3 live floor
+        # triangles wastes >10x the vector work; and a whole-band sweep
+        # (the round-2 design) pays ntx subtiles for every triangle —
+        # 5x the needed work for mid-size "big" triangles spanning 2-3
+        # subtiles (the flagship cube at 1080p).
         y0 = b * tile_h
-        bw = ntx * p8w
 
         @pl.when(big_n[0] > 0)
         def _():
-            # Folded-band coordinate planes (computed once per band):
-            # sublane r, lane sub*p8w + c hold sample flat = r*p8w + c of
-            # subtile sub -> sample flat//P, pixel flat%P.
-            r8 = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, bw), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, bw), 1)
-            c_in = jax.lax.rem(lane, p8w)
-            flat = r8 * p8w + c_in
+            # Folded per-SUBTILE coordinate planes (computed once per
+            # band): sublane r, lane c hold sample flat = r*p8w + c ->
+            # sample flat//P, pixel flat%P. Tile-relative + subtile-base
+            # plane: same anchoring (and FMA structure) as process_chunk,
+            # so plane evaluation rounds identically to the chunk path.
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, p8w), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE8_H, p8w), 1)
+            flat = r8 * p8w + lane
             s_i = flat // P
             p_i = jax.lax.rem(flat, P)
             offx = sample_select(s_i, [o[0] for o in sample_offsets])
             offy = sample_select(s_i, [o[1] for o in sample_offsets])
-            # Tile-relative coords + subtile-base plane: same anchoring
-            # (and FMA structure) as process_chunk, so plane evaluation
-            # rounds identically to the chunk path.
             xr = jax.lax.rem(p_i, tile_w).astype(jnp.float32) + offx
             yr = (p_i // tile_w).astype(jnp.float32) + offy
-            x0l = ((lane // p8w) * tile_w).astype(jnp.float32)
 
             def tri_body(t, _):
                 f = t * 17
@@ -445,57 +454,61 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                                  big_tri[f + 14])
                 vld = big_tri[f + 15]
                 tid = big_tri[f + 16]
+                bx0 = big_aabb[t * 4 + 0]
                 by0 = big_aabb[t * 4 + 1]
+                bx1 = big_aabb[t * 4 + 2]
                 by1 = big_aabb[t * 4 + 3]
                 ov = (vld > 0.0) & (by0 < y0 + tile_h) & (by1 > y0)
 
                 @pl.when(ov)
                 def _():
-                    def ev(a, bq, c):
-                        cof = (c + a * x0l) + bq * oy
-                        return (a * xr + bq * yr) + cof
+                    sx0 = jnp.clip(bx0 // tile_w, 0, ntx - 1)
+                    sx1 = jnp.clip((bx1 - 1) // tile_w, 0, ntx - 1)
 
-                    e0v = ev(a0, b0, c0)
-                    e1v = ev(a1, b1, c1)
-                    e2v = ev(a2, b2, c2)
-                    zv = ev(az, bz, cz)
-                    # and/or form: Mosaic cannot legalize arith.select on
-                    # i1 vectors (same class as the i8->i1 trunci trap).
-                    cov = (
-                        ((e0v > 0.0) | ((e0v == 0.0) & (tl0 > 0.0)))
-                        & ((e1v > 0.0) | ((e1v == 0.0) & (tl1 > 0.0)))
-                        & ((e2v > 0.0) | ((e2v == 0.0) & (tl2 > 0.0)))
-                    )
-                    ok = cov & (zv >= 0.0) & (zv <= 1.0)
-                    zb = depth_blk_full()
-                    take = ok & (zv <= zb)
-                    depth_set(jnp.where(take, zv, zb))
-                    win_set(jnp.where(take, tid.astype(jnp.int32),
-                                      win_full()))
+                    def sub_body(i, _):
+                        sub = sx0 + i
+                        lane_off = pl.multiple_of(sub * p8w, p8w)
+                        ox = (sub * tile_w).astype(jnp.float32)
 
-                    if with_attrs and attr_px:
-                        big_attr_px(t, take)
-                    elif with_attrs:
-                        big_attr_ps(t, take)
+                        def ev(a, bq, c):
+                            cof = (c + a * ox) + bq * oy
+                            return (a * xr + bq * yr) + cof
+
+                        e0v = ev(a0, b0, c0)
+                        e1v = ev(a1, b1, c1)
+                        e2v = ev(a2, b2, c2)
+                        zv = ev(az, bz, cz)
+                        # and/or form: Mosaic cannot legalize arith.select
+                        # on i1 vectors (the i8->i1 trunci trap).
+                        cov = (
+                            ((e0v > 0.0) | ((e0v == 0.0) & (tl0 > 0.0)))
+                            & ((e1v > 0.0) | ((e1v == 0.0) & (tl1 > 0.0)))
+                            & ((e2v > 0.0) | ((e2v == 0.0) & (tl2 > 0.0)))
+                        )
+                        ok = cov & (zv >= 0.0) & (zv <= 1.0)
+                        zb = outs[0][:, pl.ds(lane_off, p8w)]
+                        take = ok & (zv <= zb)
+                        outs[0][:, pl.ds(lane_off, p8w)] = \
+                            jnp.where(take, zv, zb)
+                        outs[1][:, pl.ds(lane_off, p8w)] = jnp.where(
+                            take, tid.astype(jnp.int32),
+                            outs[1][:, pl.ds(lane_off, p8w)])
+
+                        if with_attrs and attr_px:
+                            big_attr_px(t, take, sub, lane_off, ox)
+                        elif with_attrs:
+                            big_attr_ps(t, take, lane_off, ox)
+                        return 0
+
+                    jax.lax.fori_loop(0, sx1 - sx0 + 1, sub_body, 0)
                 return 0
 
-            def depth_blk_full():
-                return outs[0][...]
-
-            def depth_set(v):
-                outs[0][...] = v
-
-            def win_full():
-                return outs[1][...]
-
-            def win_set(v):
-                outs[1][...] = v
-
-            def big_attr_ps(t, take):
-                """Per-sample gout update with scalar attr planes
-                (absolute coords, same expression as gather_coef path)."""
+            def big_attr_ps(t, take, lane_off, ox):
+                """Per-sample gout update for one subtile with scalar
+                attr planes (absolute coords, same expression as the
+                gather_coef path)."""
                 gout_ref = outs[2]
-                xs_abs = x0l + xr
+                xs_abs = ox + xr
                 ys_abs = oy + yr
                 af = t * (3 * 16)
                 for g in range(ATTR_GROUPS):
@@ -503,68 +516,47 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                     bg = big_attr[af + 16 + g]
                     cg = big_attr[af + 32 + g]
                     val = ag * xs_abs + bg * ys_abs + cg
-                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :]
-                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :] = \
+                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H,
+                                   pl.ds(lane_off, p8w)]
+                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H,
+                             pl.ds(lane_off, p8w)] = \
                         jnp.where(take, val, old)
                 gout_ref[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
-                         :] = depth_blk_full()
+                         pl.ds(lane_off, p8w)] = \
+                    outs[0][:, pl.ds(lane_off, p8w)]
 
-            def big_attr_px(t, take):
-                """Per-pixel (attr_px) gout update: first-covered-sample
-                selection rebuilt in PIXEL layout from band strips, then
-                scalar plane evaluation at the selected sample coords —
-                mirrors the chunk path's semantics exactly, without
-                gathers (the winner IS this triangle)."""
+            def big_attr_px(t, take, sub, lane_off, ox):
+                """Per-pixel (attr_px) gout update for one subtile:
+                first-covered-sample selection via the shared helper,
+                then scalar plane evaluation at the selected sample
+                coords — no gathers (the winner IS this triangle)."""
                 gout_ref = outs[2]
-                pw = ntx * tile_w
-                covb = (win_full() >= 0).astype(jnp.float32)  # post-update
+                covb = (outs[1][:, pl.ds(lane_off, p8w)] >= 0).astype(
+                    jnp.float32)                         # post-update
                 takef = take.astype(jnp.float32)
-
-                def px_plane(x8, s):
-                    """[TILE8_H, pw] pixel-layout view of sample s."""
-                    rows = []
-                    for pr in range(TILE8_H):
-                        r = (TILE8_H * s + pr) // n_samples
-                        c = ((TILE8_H * s + pr) % n_samples) * tile_w
-                        rows.append(jnp.concatenate(
-                            [x8[r:r + 1,
-                                sub * p8w + c:sub * p8w + c + tile_w]
-                             for sub in range(ntx)], axis=1))
-                    return jnp.concatenate(rows, axis=0)
-
-                offs = sample_offsets
-                sel_cov = px_plane(covb, 0)
-                cnt = sel_cov
-                sel_take = px_plane(takef, 0)
-                sel_ox = jnp.full((TILE8_H, pw), jnp.float32(offs[0][0]))
-                sel_oy = jnp.full((TILE8_H, pw), jnp.float32(offs[0][1]))
-                for s in range(1, n_samples):
-                    cs = px_plane(covb, s)
-                    use = cs * (1.0 - sel_cov)
-                    keep = 1.0 - use
-                    sel_take = use * px_plane(takef, s) + keep * sel_take
-                    sel_ox = use * jnp.float32(offs[s][0]) + keep * sel_ox
-                    sel_oy = use * jnp.float32(offs[s][1]) + keep * sel_oy
-                    sel_cov = jnp.maximum(sel_cov, cs)
-                    cnt = cnt + cs
-                upd = sel_cov * sel_take
-                xpix = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE8_H, pw), 1).astype(jnp.float32)
-                ypix = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE8_H, pw), 0).astype(jnp.float32) + oy
-                sxp = xpix + sel_ox
-                syp = ypix + sel_oy
+                sel_cov8, cnt8, sel_ox8, sel_oy8, (sel_take8,) = \
+                    first_cov_select(covb, [takef])
+                upd = sel_cov8 * sel_take8               # [8, tile_w]
+                sxp = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE8_H, tile_w), 1).astype(jnp.float32)
+                    + ox + sel_ox8)
+                syp = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE8_H, tile_w), 0).astype(jnp.float32)
+                    + oy + sel_oy8)
+                lane_px = pl.multiple_of(sub * tile_w, tile_w)
                 af = t * (3 * 16)
                 for g in range(ATTR_GROUPS):
                     ag = big_attr[af + g]
                     bg = big_attr[af + 16 + g]
                     cg = big_attr[af + 32 + g]
                     val = ag * sxp + bg * syp + cg
-                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :]
-                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H, :] = \
+                    old = gout_ref[g * TILE8_H:(g + 1) * TILE8_H,
+                                   pl.ds(lane_px, tile_w)]
+                    gout_ref[g * TILE8_H:(g + 1) * TILE8_H,
+                             pl.ds(lane_px, tile_w)] = \
                         upd * val + (1.0 - upd) * old
                 gout_ref[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
-                         :] = cnt
+                         pl.ds(lane_px, tile_w)] = cnt8
 
             jax.lax.fori_loop(0, big_n[0], tri_body, 0)
 

@@ -88,35 +88,36 @@ def window_shape(tex_h, tex_w, height, width):
 def _make_kernel(win_h, win_w, has_mask):
     def kernel(*args):
         if has_mask:
-            (wy_ref, wx_ref, any_ref, tex_hbm, x_ref, y_ref,
-             out_ref, win, sem) = args
+            (wy_ref, wx_ref, uni_ref, uval_ref, any_ref, tex_hbm,
+             x_ref, y_ref, out_ref, win, sem) = args
         else:
-            (wy_ref, wx_ref, tex_hbm, x_ref, y_ref,
+            (wy_ref, wx_ref, uni_ref, uval_ref, tex_hbm, x_ref, y_ref,
              out_ref, win, sem) = args
         i = pl.program_id(0)
 
         def sample_tile():
-            # Origins are snapped in _sample_padded; tell Mosaic so the
-            # dynamic DMA slice provably stays tile-aligned.
-            wy = pl.multiple_of(wy_ref[i], 8)
-            wx = pl.multiple_of(wx_ref[i], 128)
-
-            cp = pltpu.make_async_copy(
-                tex_hbm.at[pl.ds(wy, win_h), pl.ds(wx, win_w)], win, sem)
-            cp.start()
-            cp.wait()
-
-            wmin = jnp.min(win[...])
-            wmax = jnp.max(win[...])
-
-            @pl.when(wmin == wmax)
+            # Uniform window (precomputed block min==max — the all-far
+            # shadow-map case): every bilinear tap returns the constant.
+            # Skip the window DMA *and* the gather pyramid — at flagship
+            # scale the 136x256 window DMA per tile is ~280 MB/frame,
+            # most of it over far-plane texels.
+            @pl.when(uni_ref[i] > 0)
             def _():
-                # Uniform window: every tap returns the constant — the
-                # all-far shadow-map case. Skip the gather pyramid.
-                out_ref[...] = jnp.full((TILE_H, TILE_W), wmin, jnp.float32)
+                out_ref[...] = jnp.full((TILE_H, TILE_W), uval_ref[i],
+                                        jnp.float32)
 
-            @pl.when(wmin != wmax)
+            @pl.when(uni_ref[i] == 0)
             def _():
+                # Origins are snapped in _sample_padded; tell Mosaic so
+                # the dynamic DMA slice provably stays tile-aligned.
+                wy = pl.multiple_of(wy_ref[i], 8)
+                wx = pl.multiple_of(wx_ref[i], 128)
+
+                cp = pltpu.make_async_copy(
+                    tex_hbm.at[pl.ds(wy, win_h), pl.ds(wx, win_w)], win, sem)
+                cp.start()
+                cp.wait()
+
                 x = x_ref[...] - wx.astype(jnp.float32)
                 y = y_ref[...] - wy.astype(jnp.float32)
                 x = jnp.clip(x, 0.0, win_w - 1.001)
@@ -214,12 +215,36 @@ def _sample_padded(tex, x, y, maskf, tex_h, tex_w, win_h, win_w, has_mask):
         xmin = jnp.min(xt, axis=(1, 3)).reshape(-1)
         ymin = jnp.min(yt, axis=(1, 3)).reshape(-1)
         tile_any = None
+    # Clip bounds snap DOWN to alignment: a raw tex_h - win_h bound on a
+    # non-multiple-of-8 texture would emit unaligned origins, breaking
+    # both the kernel's multiple_of DMA claim and the block-grain
+    # uniformity lookup below.
     wx = jnp.clip((jnp.floor(xmin).astype(jnp.int32) // 128) * 128,
-                  0, tex_w - win_w)
+                  0, ((tex_w - win_w) // 128) * 128)
     wy = jnp.clip((jnp.floor(ymin).astype(jnp.int32) // 8) * 8,
-                  0, tex_h - win_h)
+                  0, ((tex_h - win_h) // 8) * 8)
 
-    scalars = [wy, wx] + ([tile_any] if has_mask else [])
+    # Per-tile window uniformity, precomputed in XLA: block min/max at the
+    # window alignment grain (8x128), sliding-window-reduced to every
+    # legal window origin. A uniform window (min == max) means every
+    # bilinear tap returns that constant — the kernel then skips the
+    # window DMA and the whole gather pyramid. Shadow maps are mostly
+    # far-plane, so this turns ~80-95% of tiles into a constant fill.
+    hb, wb = tex_h // 8, tex_w // 128
+    blocks = tex.reshape(hb, 8, wb, 128)
+    bmin = jnp.min(blocks, axis=(1, 3))
+    bmax = jnp.max(blocks, axis=(1, 3))
+    kh, kw = win_h // 8, win_w // 128
+    smin = jax.lax.reduce_window(bmin, jnp.inf, jax.lax.min,
+                                 (kh, kw), (1, 1), "VALID")
+    smax = jax.lax.reduce_window(bmax, -jnp.inf, jax.lax.max,
+                                 (kh, kw), (1, 1), "VALID")
+    oidx = (wy // 8) * smin.shape[1] + (wx // 128)
+    uval = jnp.take(smin.reshape(-1), oidx)
+    umax = jnp.take(smax.reshape(-1), oidx)
+    uni = (uval == umax).astype(jnp.int32)
+
+    scalars = [wy, wx, uni, uval] + ([tile_any] if has_mask else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(nt,),

@@ -24,8 +24,44 @@ from benchmarks import configs as cfgs
 from metalrenderer_tpu.config import ShadowConfig
 from metalrenderer_tpu.passes.pipeline import render_frame
 
-FRAMES = {1: 32, 2: 16, 3: 8, 4: 16, 5: 2}
+FRAMES = {1: 64, 2: 32, 3: 16, 4: 32, 5: 2}
 REPS = 3
+
+# Reduced-scale variants for PSNR-vs-reference-backend (the brute-force
+# oracle is O(T * pixels); full config sizes are infeasible for it, so
+# parity is recorded at a reduced scale of the SAME pipeline/features —
+# the r2 precedent, now recorded for every config).
+PSNR_BUILDERS = {
+    1: lambda: cfgs.config1_textured_cube(),
+    2: lambda: cfgs.config2_multi_mesh(width=384, height=216),
+    3: lambda: cfgs.config3_high_poly(target_tris=5_000,
+                                      width=320, height=240),
+    4: lambda: cfgs.config4_shadow_normal_map(width=320, height=240),
+    5: lambda: cfgs.config5_animated_high_poly(target_tris=5_000,
+                                               width=320, height=240),
+}
+
+
+def psnr_config(idx):
+    """PSNR of the pallas backend vs the reference backend on real TPU
+    at the config's reduced parity scale."""
+    scene, camera, lighting, config = PSNR_BUILDERS[idx]()
+
+    @jax.jit
+    def both(scene, camera, lighting):
+        fb_p, _ = render_frame(scene, camera, lighting, config,
+                               ShadowConfig(), 0.0,
+                               jnp.asarray([0.0, 0.0, -1.0]),
+                               backend="pallas")
+        fb_r, _ = render_frame(scene, camera, lighting, config,
+                               ShadowConfig(), 0.0,
+                               jnp.asarray([0.0, 0.0, -1.0]),
+                               backend="reference")
+        return jnp.mean((fb_p - fb_r) ** 2)
+
+    mse = float(both(scene, camera, lighting))
+    psnr = 10.0 * jnp.log10(1.0 / mse) if mse > 0 else jnp.inf
+    return round(float(psnr), 1), f"{config.width}x{config.height}"
 
 
 def bench_config(idx, scene, camera, lighting, config):
@@ -96,6 +132,10 @@ def main():
             r = bench_config(idx, scene, camera, lighting, config)
         except Exception as e:  # report, keep benching the rest
             r = {"config": idx, "error": str(e)[:500]}
+        try:
+            r["psnr_vs_reference_db"], r["psnr_scale"] = psnr_config(idx)
+        except Exception as e:
+            r["psnr_error"] = str(e)[:500]
         results.append(r)
         print(json.dumps(r), flush=True)
     if args.out:

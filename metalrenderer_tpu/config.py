@@ -46,6 +46,14 @@ class RenderConfig:
     # mtl_engine.mm:615). False = supersampled shading (shade every
     # MSAA sample), 4x the fragment work at MSAA 4.
     shading_per_pixel: bool = True
+    # Fuse the whole fragment stage INTO the raster band kernel when the
+    # scene qualifies (untextured Blinn-Phong/emissive/shadow materials,
+    # point light): the per-pixel G-buffer never leaves VMEM and only
+    # shaded RGBA is written to HBM (~250 MB/frame less traffic at
+    # 1080p). Shading math follows the same expression order as
+    # shade.py, but compiler FMA contraction may differ at the ULP
+    # level from the split path.
+    fused_shade: bool = True
     # Tile shape for the Pallas rasterizer (sublane x lane aligned).
     tile_h: int = 8
     tile_w: int = 128

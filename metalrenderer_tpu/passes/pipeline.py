@@ -169,6 +169,41 @@ def render_frame(scene: Scene, camera, lighting,
         # is then n_samples-x smaller than the supersampled variant.
         attr_px = (config.shading_per_pixel
                    and config.tile_h == 8 and config.tile_w == 128)
+        # FUSED-SHADE fast path: raster + fragment stage in one band
+        # kernel, G-buffer never leaves VMEM. Covers the untextured
+        # Blinn-Phong / emissive / shadow material set with a point
+        # light (the flagship AudioApp scene).
+        fused_ok = (attr_px and config.fused_shade
+                    and len(scene.textures) == 0 and not is_directional)
+        if fused_ok:
+            if shadow_ctx is not None:
+                m = jnp.dot(shadow_ctx.light_proj, shadow_ctx.light_view,
+                            precision="highest")
+            else:
+                m = jnp.zeros((4, 4), jnp.float32)
+            funi = jnp.concatenate([
+                m.reshape(-1),
+                jnp.asarray(camera.position, jnp.float32),
+                light_anchor,
+                jnp.asarray(light.color, jnp.float32),
+                jnp.asarray(lighting.ambient_intensity,
+                            jnp.float32).reshape(1),
+                jnp.asarray(lighting.shininess, jnp.float32).reshape(1),
+                jnp.asarray(config.clear_color, jnp.float32),
+                jnp.asarray(config.shadow_bias, jnp.float32).reshape(1),
+                jnp.asarray(config.shadow_factor, jnp.float32).reshape(1),
+            ])
+            rgba, covf, rstats = raster_pallas.render_fused(
+                setup, pass_geom, funi, config.width, config.height,
+                tuple(config.sample_positions),
+                shadow_map=(shadow_ctx.depth_map
+                            if shadow_ctx is not None else None),
+                span_cap=config.span_cap,
+                big_capacity=config.big_capacity,
+                clear_depth=config.clear_depth)
+            stats["big_dropped"] = rstats["big_dropped"]
+            stats["covered_fraction"] = jnp.mean(covf)
+            return rgba, stats
         depth, winner, gout, rstats = raster_pallas.rasterize_tiles(
             setup, config.width, config.height, config.tile_h,
             config.tile_w, tuple(config.sample_positions),

@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
+from ..scene.materials import BLINN_PHONG_SHADOW, EMISSIVE
 from .binning import (ATTR_COLS, ATTR_GROUPS, CHUNK, COLS, ROW_DEPTH,
                       ROW_COLOR, ROW_INVW, ROW_MATKIND, ROW_NMID,
                       ROW_NORMAL, ROW_TEXID, ROW_UV, ROW_WORLD,
@@ -69,13 +70,26 @@ from .shade import GBuffer
 GOUT_ROWS = 16  # 15 attr rows + depth in ROW_DEPTH
 TILE8_H = 8     # sublane height of the [8, S*P/8] dense pixel-block layout
 
+# Fused-shade uniform vector layout (one f32 SMEM array; scalar prefetch).
+FU_M = 0        # 16: light_proj @ light_view, row-major (zeros w/o shadow)
+FU_CAM = 16     # 3: camera position
+FU_LPOS = 19    # 3: light position
+FU_LCOL = 22    # 3: light color
+FU_AMB = 25     # ambient intensity
+FU_SHIN = 26    # shininess
+FU_CLEAR = 27   # 4: clear color RGBA
+FU_BIAS = 31    # shadow bias
+FU_FACTOR = 32  # shadow factor
+FU_LEN = 33
+FB_ROWS = 5     # fused-shade output rows: R, G, B, A, covered-count
+
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 with_attrs, attr_px=False):
+                 with_attrs, attr_px=False, fused=None):
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
@@ -352,7 +366,22 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 depth_blk[:, pl.ds(lane_off, p8w)]
 
     def kernel(*args):
-        if with_attrs:
+        if fused is not None:
+            # Fused-shade mode: depth / winner / gout are SCRATCH (they
+            # never leave VMEM); the only output is the shaded band.
+            if fused["shadow"] is not None:
+                (band_start, band_end, sub_of_chunk, big_n, big_tri,
+                 big_attr, big_aabb, funi, smin_r, smax_r,
+                 chunks_hbm, attrs_hbm, smap_hbm, fb_out,
+                 depth_out, win_out, gout, cbuf, abuf, sems,
+                 swin, ssem, dbuf) = args
+            else:
+                (band_start, band_end, sub_of_chunk, big_n, big_tri,
+                 big_attr, big_aabb, funi,
+                 chunks_hbm, attrs_hbm, fb_out,
+                 depth_out, win_out, gout, cbuf, abuf, sems) = args
+            outs = (depth_out, win_out, gout)
+        elif with_attrs:
             (band_start, band_end, sub_of_chunk, big_n, big_tri,
              big_attr, big_aabb, chunks_hbm, attrs_hbm,
              depth_out, win_out, gout, cbuf, abuf, sems) = args
@@ -560,6 +589,204 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
 
             jax.lax.fori_loop(0, big_n[0], tri_body, 0)
 
+        if fused is None:
+            return
+
+        # ---- In-band fragment stage (fused-shade mode) ------------------
+        # Blinn-Phong + emissive + shadow test straight out of the VMEM
+        # gout scratch, writing only the shaded RGBA (+ covered count)
+        # band. Mirrors shade.shade_channels / shade._shadow_factor_soa
+        # expression order so results match the unfused pallas path.
+        # (BlinnPhong.metal:44-57 fragment shading, :79-96 shadow test.)
+        m = [funi[FU_M + k] for k in range(16)]
+        cam = [funi[FU_CAM + k] for k in range(3)]
+        lpos = [funi[FU_LPOS + k] for k in range(3)]
+        lcol = [funi[FU_LCOL + k] for k in range(3)]
+        amb = funi[FU_AMB]
+        shin = funi[FU_SHIN]
+        clear = [funi[FU_CLEAR + k] for k in range(4)]
+        sh_bias = funi[FU_BIAS]
+        sh_factor = funi[FU_FACTOR]
+        inv_s = jnp.float32(1.0 / n_samples)
+        sh_cfg = fused["shadow"]
+
+        def shade_sub(sub, _):
+            lane_px = pl.multiple_of(sub * tile_w, tile_w)
+
+            def grow(i):
+                return gout[i * TILE8_H:(i + 1) * TILE8_H,
+                            pl.ds(lane_px, tile_w)]
+
+            invw = grow(ROW_INVW)
+            cnt = grow(ROW_DEPTH)
+            inv = 1.0 / jnp.where(invw > 0.0, invw, 1.0)
+            wx = grow(ROW_WORLD) * inv
+            wy = grow(ROW_WORLD + 1) * inv
+            wz = grow(ROW_WORLD + 2) * inv
+            nx = grow(ROW_NORMAL) * inv
+            ny = grow(ROW_NORMAL + 1) * inv
+            nz = grow(ROW_NORMAL + 2) * inv
+            cr = grow(ROW_COLOR) * inv
+            cg = grow(ROW_COLOR + 1) * inv
+            cb = grow(ROW_COLOR + 2) * inv
+            covered = cnt > 0.0
+            kf = jnp.floor(grow(ROW_MATKIND) * inv + 0.5)
+            emissive = covered & (kf == jnp.float32(EMISSIVE))
+            receives = covered & (kf == jnp.float32(BLINN_PHONG_SHADOW))
+
+            # Blinn-Phong (shade._blinn_phong_soa expression order).
+            vx = cam[0] - wx
+            vy = cam[1] - wy
+            vz = cam[2] - wz
+            nv = jnp.float32(1.0) / jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            vx, vy, vz = vx * nv, vy * nv, vz * nv
+            lx = lpos[0] - wx
+            ly = lpos[1] - wy
+            lz = lpos[2] - wz
+            nl = jnp.float32(1.0) / jnp.sqrt(lx * lx + ly * ly + lz * lz)
+            lx, ly, lz = lx * nl, ly * nl, lz * nl
+            hx, hy, hz = lx + vx, ly + vy, lz + vz
+            nh = jnp.float32(1.0) / jnp.sqrt(hx * hx + hy * hy + hz * hz)
+            hx, hy, hz = hx * nh, hy * nh, hz * nh
+            diff = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+            spec = jnp.power(
+                jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0), shin)
+            s = amb + diff + spec
+            r = s * lcol[0] * cr
+            g = s * lcol[1] * cg
+            b = s * lcol[2] * cb
+            r = jnp.where(emissive, cr, r)
+            g = jnp.where(emissive, cg, g)
+            b = jnp.where(emissive, cb, b)
+            a = jnp.ones_like(r)
+
+            if sh_cfg is not None:
+                # tex_h/tex_w: ORIGINAL texture space (coordinates,
+                # repeat wrap); th_p/tw_p: padded extents (window
+                # origin clip bounds — small maps are tiled up).
+                win_h, win_w, tex_h, tex_w, th_p, tw_p, nox = sh_cfg
+                # Light-space transform (shade._shadow_factor_soa).
+                lxp = m[0] * wx + m[1] * wy + m[2] * wz + m[3]
+                lyp = m[4] * wx + m[5] * wy + m[6] * wz + m[7]
+                lzp = m[8] * wx + m[9] * wy + m[10] * wz + m[11]
+                lwp = m[12] * wx + m[13] * wy + m[14] * wz + m[15]
+                ilw = 1.0 / lwp
+                uu = lxp * ilw * 0.5 + 0.5
+                vv = (1.0 - lyp * ilw) * 0.5
+                sd = lzp * ilw * 0.5 + 0.5
+                inb = (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
+                maskb = inb & receives
+                maskf = maskb.astype(jnp.float32)
+                # sample_bilinear_tiled coordinate pipeline (repeat mode;
+                # u in [0,1] so a single negative-wrap equals jnp.mod).
+                x = uu * tex_w - 0.5
+                y = vv * tex_h - 0.5
+                x = jnp.where(x < 0.0, x + tex_w, x)
+                y = jnp.where(y < 0.0, y + tex_h, y)
+                has = jnp.max(maskf) > 0.0
+                big = jnp.float32(3.0e38)
+                xmin = jnp.min(jnp.where(maskb, x, big))
+                ymin = jnp.min(jnp.where(maskb, y, big))
+                xmin = jnp.where(has, xmin, 0.0)
+                ymin = jnp.where(has, ymin, 0.0)
+                wxo = jnp.clip(
+                    (jnp.floor(xmin).astype(jnp.int32) // 128) * 128,
+                    0, ((tw_p - win_w) // 128) * 128)
+                wyo = jnp.clip(
+                    (jnp.floor(ymin).astype(jnp.int32) // 8) * 8,
+                    0, ((th_p - win_h) // 8) * 8)
+                oidx = (wyo // 8) * nox + (wxo // 128)
+                uval = smin_r[oidx]
+                umax = smax_r[oidx]
+
+                @pl.when(has & (uval != umax))
+                def _():
+                    wy8 = pl.multiple_of(wyo, 8)
+                    wx128 = pl.multiple_of(wxo, 128)
+                    cp = pltpu.make_async_copy(
+                        smap_hbm.at[pl.ds(wy8, win_h), pl.ds(wx128, win_w)],
+                        swin, ssem)
+                    cp.start()
+                    cp.wait()
+                    xl = jnp.clip(x - wx128.astype(jnp.float32),
+                                  0.0, win_w - 1.001)
+                    yl = jnp.clip(y - wy8.astype(jnp.float32),
+                                  0.0, win_h - 1.001)
+                    x0 = jnp.floor(xl)
+                    y0 = jnp.floor(yl)
+                    fx = xl - x0
+                    fy = yl - y0
+                    x0i = x0.astype(jnp.int32)
+                    y0i = y0.astype(jnp.int32)
+
+                    def build_xg(xi_row):
+                        idx = jnp.broadcast_to(xi_row, (win_h, tile_w))
+                        out = jnp.take_along_axis(swin[:, 0:128],
+                                                  idx % 128, axis=1)
+                        for sl in range(1, win_w // 128):
+                            part = jnp.take_along_axis(
+                                swin[:, sl * 128:(sl + 1) * 128],
+                                idx % 128, axis=1)
+                            out = jnp.where(idx >= sl * 128, part, out)
+                        return out
+
+                    def compose_y(xg, yi_row):
+                        ylo = jnp.broadcast_to(yi_row % 8, (8, tile_w))
+                        yhi = yi_row // 8
+                        out = jnp.zeros((1, tile_w), jnp.float32)
+                        for gg in range(win_h // 8):
+                            part = jnp.take_along_axis(
+                                xg[8 * gg:8 * gg + 8], ylo, axis=0)
+                            out = jnp.where(yhi == gg, part[0:1], out)
+                        return out
+
+                    for rr in range(TILE8_H):
+                        x0r = x0i[rr:rr + 1, :]
+                        y0r = y0i[rr:rr + 1, :]
+                        xg0 = build_xg(x0r)
+                        xg1 = build_xg(x0r + 1)
+                        t00 = compose_y(xg0, y0r)
+                        t01 = compose_y(xg0, y0r + 1)
+                        t10 = compose_y(xg1, y0r)
+                        t11 = compose_y(xg1, y0r + 1)
+                        fxr = fx[rr:rr + 1, :]
+                        fyr = fy[rr:rr + 1, :]
+                        top = t00 * (1.0 - fxr) + t10 * fxr
+                        bot = t01 * (1.0 - fxr) + t11 * fxr
+                        dbuf[rr:rr + 1, :] = \
+                            top * (1.0 - fyr) + bot * fyr
+
+                @pl.when((~has) | (uval == umax))
+                def _():
+                    # Uniform window (or no shadow-testing pixel): every
+                    # tap returns the block constant — no DMA, no taps.
+                    dbuf[...] = jnp.zeros(
+                        (TILE8_H, tile_w), jnp.float32) + \
+                        jnp.where(has, uval, jnp.float32(1.0))
+
+                d = dbuf[...]
+                wxf = wxo.astype(jnp.float32)
+                wyf = wyo.astype(jnp.float32)
+                oob = (((x - wxf) < 0.0) | ((x - wxf) > win_w - 2.0)
+                       | ((y - wyf) < 0.0) | ((y - wyf) > win_h - 2.0)
+                       | (~maskb))
+                d = jnp.where(oob, jnp.float32(1.0), d)
+                shadowed = (sd - sh_bias) > d
+                sf = jnp.where(inb & shadowed, sh_factor, jnp.float32(1.0))
+                msk = jnp.where(receives, sf, jnp.float32(1.0))
+                r, g, b, a = r * msk, g * msk, b * msk, a * msk
+
+            covf = cnt * inv_s
+            planes = (r, g, b, a)
+            for c in range(4):
+                fb_out[c * TILE8_H:(c + 1) * TILE8_H,
+                       pl.ds(lane_px, tile_w)] = \
+                    planes[c] * covf + clear[c] * (1.0 - covf)
+            fb_out[4 * TILE8_H:5 * TILE8_H, pl.ds(lane_px, tile_w)] = covf
+            return 0
+
+        jax.lax.fori_loop(0, ntx, shade_sub, 0)
+
     return kernel
 
 
@@ -692,6 +919,133 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
 
     stats = {"big_dropped": bins.num_big_dropped}
     return depth, winner, gout, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sample_offsets", "span_cap",
+                     "big_capacity", "clear_depth"),
+)
+def render_fused(setup: TriangleSetup, pass_geom, fused_uniforms,
+                 width, height, sample_offsets, shadow_map=None,
+                 span_cap=8, big_capacity=256, clear_depth=1.0):
+    """Raster + full fragment stage in ONE band kernel (fused-shade).
+
+    The per-pixel G-buffer (gout) and the per-sample depth/winner planes
+    stay in VMEM as kernel scratch — only the shaded RGBA (+ coverage)
+    band leaves the chip, cutting ~250 MB/frame of HBM traffic at 1080p
+    vs the split raster->channels->shade pipeline. Supports the
+    untextured Blinn-Phong/emissive/shadow material set (the flagship
+    AudioApp scene; scenes with textures or normal maps take the split
+    path).
+
+    ``fused_uniforms``: f32[FU_LEN] (see FU_* layout).
+    ``shadow_map``: optional f32[S, S] light-space depth map.
+    Returns (rgba f32[H, W, 4], covered_frac f32[H, W], stats).
+    """
+    from .sample_pallas import window_shape
+    tile_h, tile_w = TILE8_H, 128
+    fields = build_tri_fields(setup)
+    attr_fields = build_attr_fields(setup, pass_geom)
+    bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
+                         span_cap=span_cap, big_capacity=big_capacity,
+                         attr_fields=attr_fields)
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    P = tile_h * tile_w
+    n_samples = len(sample_offsets)
+    SP = n_samples * P
+    p8w = SP // TILE8_H
+
+    if shadow_map is not None:
+        from .sample_pallas import WIN_H, WIN_W
+        tex_h, tex_w = shadow_map.shape
+        # Small maps tile up (repeat addressing) exactly as
+        # sample_bilinear_tiled does: coordinates stay in the ORIGINAL
+        # texture space; windows/DMA run over the padded map.
+        rep_y = _cdiv(WIN_H + 8, tex_h) if tex_h < WIN_H + 8 else 1
+        rep_x = _cdiv(WIN_W + 128, tex_w) if tex_w < WIN_W + 128 else 1
+        if rep_y > 1 or rep_x > 1:
+            shadow_map = jnp.tile(shadow_map, (rep_y, rep_x))
+        th_p, tw_p = shadow_map.shape
+        win_h, win_w = window_shape(th_p, tw_p, height, width)
+        # Per-origin window uniformity (sample_pallas._sample_padded):
+        # block min/max at the 8x128 alignment grain, sliding-reduced to
+        # every legal window origin, read by the kernel from SMEM.
+        hb, wb = th_p // 8, tw_p // 128
+        blocks = shadow_map[:hb * 8, :wb * 128].reshape(hb, 8, wb, 128)
+        bmin = jnp.min(blocks, axis=(1, 3))
+        bmax = jnp.max(blocks, axis=(1, 3))
+        kh, kw = win_h // 8, win_w // 128
+        smin = jax.lax.reduce_window(bmin, jnp.inf, jax.lax.min,
+                                     (kh, kw), (1, 1), "VALID")
+        smax = jax.lax.reduce_window(bmax, -jnp.inf, jax.lax.max,
+                                     (kh, kw), (1, 1), "VALID")
+        nox = smin.shape[1]
+        sh_cfg = (win_h, win_w, tex_h, tex_w, th_p, tw_p, nox)
+    else:
+        sh_cfg = None
+
+    kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
+                          clear_depth, with_attrs=True, attr_px=True,
+                          fused={"shadow": sh_cfg})
+
+    scalars = [bins.band_start, bins.band_end, bins.sub_of_chunk,
+               bins.big_n, bins.big_tri, bins.big_attr, bins.big_tri_aabb,
+               fused_uniforms]
+    if sh_cfg is not None:
+        scalars += [smin.reshape(-1), smax.reshape(-1)]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM)]
+    operands = [bins.chunks, bins.attr_chunks]
+    if sh_cfg is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.append(shadow_map)
+
+    out_specs = [pl.BlockSpec((None, FB_ROWS * TILE8_H, ntx * tile_w),
+                              lambda b, *refs: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct(
+        (nty, FB_ROWS * TILE8_H, ntx * tile_w), jnp.float32)]
+
+    scratch = [
+        pltpu.VMEM((TILE8_H, ntx * p8w), jnp.float32),       # depth
+        pltpu.VMEM((TILE8_H, ntx * p8w), jnp.int32),         # winner
+        pltpu.VMEM((GOUT_ROWS * TILE8_H, ntx * tile_w), jnp.float32),
+        pltpu.VMEM((2, 4, COLS), jnp.float32),               # chunk dbl-buf
+        pltpu.VMEM((2, 4, ATTR_COLS), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if sh_cfg is not None:
+        scratch += [
+            pltpu.VMEM((win_h, win_w), jnp.float32),         # shadow window
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TILE8_H, tile_w), jnp.float32),      # bilinear d
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(nty,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    fb_bands, = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_should_interpret(),
+    )(*scalars, *operands)
+
+    # [nty, FB_ROWS*8, ntx*128] -> FB_ROWS [H, W] planes (major-dim
+    # transpose only, same as the attr_px gout unfold).
+    planes = fb_bands.reshape(nty, FB_ROWS, tile_h, ntx * tile_w)
+    planes = planes.transpose(1, 0, 2, 3).reshape(
+        FB_ROWS, nty * tile_h, ntx * tile_w)[:, :height, :width]
+    rgba = jnp.stack([planes[0], planes[1], planes[2], planes[3]], axis=-1)
+    stats = {"big_dropped": bins.num_big_dropped}
+    return rgba, planes[4], stats
 
 
 def channels_from_gout(gout, winner):

@@ -69,25 +69,32 @@ def bench_config(idx, scene, camera, lighting, config):
 
     # Scene as a jit ARGUMENT (not a closure): captured device arrays
     # become HLO constants, which blow up remote compiles at 1M tris.
+    # The camera angle varies per frame: scenes with no displaced
+    # instance (configs 1-4) would otherwise make the scan body
+    # loop-invariant — XLA hoists ONE frame out of the batch and the
+    # "benchmark" measures nothing.
     @jax.jit
-    def run_batch(scene, camera, lighting, disps):
-        def one_frame(carry, disp):
-            fb, _ = render_frame(scene, camera, lighting, config,
+    def run_batch(scene, camera, lighting, disps, dths):
+        def one_frame(carry, p):
+            disp, dth = p
+            cam = camera.replace(theta=camera.theta + dth)
+            fb, _ = render_frame(scene, cam, lighting, config,
                                  ShadowConfig(), disp,
                                  jnp.asarray([0.0, 0.0, -1.0]),
                                  backend="pallas")
             return carry + jnp.mean(fb), None
-        total, _ = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
+        total, _ = jax.lax.scan(one_frame, jnp.float32(0.0), (disps, dths))
         return total
 
     disps = jnp.linspace(0.0, 0.05, frames)
+    dths = jnp.linspace(0.0, 0.2, frames)
     t0 = time.perf_counter()
-    total = float(run_batch(scene, camera, lighting, disps))
+    total = float(run_batch(scene, camera, lighting, disps, dths))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        total = float(run_batch(scene, camera, lighting, disps))
+        total = float(run_batch(scene, camera, lighting, disps, dths))
         best = min(best, time.perf_counter() - t0)
 
     n_tris = sum(int(i.mesh.positions.shape[0]) // 3

@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--width", type=int, default=3840)
     ap.add_argument("--height", type=int, default=2160)
     ap.add_argument("--stages", default="prep,raster,shade,frame")
+    ap.add_argument("--span-cap", dest="span_cap", default=None)
     args = ap.parse_args()
 
     scene, camera, lighting, config = cfgs.config5_animated_high_poly(
@@ -70,21 +71,36 @@ def main():
     disp = jnp.float32(0.02)
     setup_av, pg_av = jax.eval_shape(prep, scene, disp)
     scene_av = jax.tree_util.tree_map(aval, scene)
-
     results = []
     if "prep" in stages:
         results.append(timed_compile(
             "prep (bake+project+clip+setup)", prep, scene_av, aval(disp)))
 
+    span_cap = (int(args.span_cap) if args.span_cap is not None
+                else config.span_cap)
     raster = functools.partial(
         raster_pallas.rasterize_tiles,
         width=config.width, height=config.height, tile_h=config.tile_h,
         tile_w=config.tile_w,
         sample_offsets=tuple(config.sample_positions),
-        span_cap=config.span_cap, big_capacity=config.big_capacity,
+        span_cap=span_cap, big_capacity=config.big_capacity,
         clear_depth=config.clear_depth, with_attrs=True,
         attr_px=(config.shading_per_pixel and config.tile_h == 8
                  and config.tile_w == 128))
+
+    if "binning" in stages:
+        from metalrenderer_tpu.raster import binning as binning_mod
+
+        def bin_only(setup, pg):
+            fields = binning_mod.build_tri_fields(setup)
+            attrs = binning_mod.build_attr_fields(setup, pg)
+            return binning_mod.bin_triangles(
+                setup, fields, config.width, config.height,
+                config.tile_w, config.tile_h, span_cap=span_cap,
+                big_capacity=config.big_capacity, attr_fields=attrs)
+        results.append(timed_compile(
+            f"binning only (span_cap={span_cap})", bin_only,
+            setup_av, pg_av))
     if "raster" in stages:
         results.append(timed_compile(
             "raster (binning+kernel)",

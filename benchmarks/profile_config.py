@@ -36,13 +36,18 @@ def checksum(tree):
 
 
 def build_stage_fn(stage, camera, lighting, config):
-    def frame(scene, disp):
+    # dth varies the camera per frame: scenes that ignore ``disp``
+    # (configs 1-4 have no displaced instance) would otherwise make the
+    # whole scan body loop-invariant and XLA hoists ONE frame out of the
+    # batch -- the "benchmark" then measures nothing.
+    def frame(scene, disp, dth):
+        camera_f = camera.replace(theta=camera.theta + dth)
         geom = bake(scene, disp)
-        view = camera.view_matrix()
-        proj = camera.projection_matrix()
+        view = camera_f.view_matrix()
+        proj = camera_f.projection_matrix()
         setup, pg = prepare_main_pass(geom, view, proj, config)
         if stage == "prep_geom":
-            return checksum((setup.edge, setup.z, pg.world))
+            return checksum((setup.edge, setup.z, pg.vattrs))
 
         if stage == "binning":
             fields = build_tri_fields(setup)
@@ -72,7 +77,7 @@ def build_stage_fn(stage, camera, lighting, config):
         anchor = lights_mod.light_anchor_position(
             light, (0.0, 0.0, 0.0), ShadowConfig())
         r, g, b, a = shade_channels(
-            channels, camera_pos=camera.position, light_pos=anchor,
+            channels, camera_pos=camera_f.position, light_pos=anchor,
             light_dir=(jnp.asarray(light.direction, jnp.float32)
                        if is_dir else None),
             light_color=light.color,
@@ -104,25 +109,27 @@ def main():
 
     stages = args.stages.split(",") if args.stages else STAGES
     disps = jnp.linspace(0.0, 0.05, args.frames)
+    dths = jnp.linspace(0.0, 0.2, args.frames)
     results = {}
     prev = 0.0
     for stage in stages:
         frame = build_stage_fn(stage, camera, lighting, config)
 
         @jax.jit
-        def run(scene, disps, frame=frame):
-            def step(c, d):
-                return c + frame(scene, d), None
-            tot, _ = jax.lax.scan(step, jnp.float32(0.0), disps)
+        def run(scene, disps, dths, frame=frame):
+            def step(c, p):
+                d, t = p
+                return c + frame(scene, d, t), None
+            tot, _ = jax.lax.scan(step, jnp.float32(0.0), (disps, dths))
             return tot
 
         t0 = time.perf_counter()
-        run(scene, disps).block_until_ready()
+        float(run(scene, disps, dths))   # host fetch = reliable sync
         compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            run(scene, disps).block_until_ready()
+            float(run(scene, disps, dths))
             best = min(best, time.perf_counter() - t0)
         ms = best / args.frames * 1e3
         results[stage] = {"cum_ms": round(ms, 3),

@@ -86,7 +86,7 @@ def build_stage_fn(stage):
         proj = camera.projection_matrix()
         setup, pg = prepare_main_pass(geom, view, proj, config)
         if stage == "prep_main_geom":
-            return checksum((setup.edge, setup.z, pg.world))
+            return checksum((setup.edge, setup.z, pg.vattrs))
 
         attr_px = (config.shading_per_pixel
                    and config.tile_h == 8 and config.tile_w == 128)

@@ -28,11 +28,15 @@ from ..utils.pytree import pytree_dataclass
 
 @pytree_dataclass
 class PassGeometry:
-    """Post-clip, per-pass triangle data consumed by a raster backend."""
+    """Post-clip, per-pass triangle data consumed by a raster backend.
 
-    world: jnp.ndarray      # f32[V, 3] (V = 3 * T_clipped)
-    uvs: jnp.ndarray        # f32[V, 2]
-    normals: jnp.ndarray    # f32[V, 3]
+    Vertex attributes stay in [T, 3, 8] triangle-major form (world xyz |
+    uv | normal xyz per vertex): the flat [V, k] form would need a
+    (T, 3, k) -> (3T, k) minor-dim-merge reshape, which compiles in O(T)
+    on this platform's XLA build (~220 s at config-5 scale) — and every
+    consumer immediately splits it back to [T, 3, 8] anyway."""
+
+    vattrs: jnp.ndarray     # f32[T_clipped, 3, 8] world | uv | normal
     mat_kind: jnp.ndarray   # i32[T_clipped]
     mat_color: jnp.ndarray  # f32[T_clipped, 3]
     tex_id: jnp.ndarray     # i32[T_clipped]
@@ -51,9 +55,8 @@ def prepare_main_pass(geom, view, proj, config: RenderConfig):
         clip2, config.width, config.height,
         cull_backfaces=config.cull_backfaces, near_eps=config.near_eps,
     )
-    flat = attrs2.reshape(-1, 8)
     pg = PassGeometry(
-        world=flat[:, 0:3], uvs=flat[:, 3:5], normals=flat[:, 5:8],
+        vattrs=attrs2,
         mat_kind=geom.mat_kind[parent],
         mat_color=geom.mat_color[parent],
         tex_id=geom.tex_id[parent],
@@ -82,7 +85,7 @@ def _raster_gbuffer_reference(setup, pg: PassGeometry, config: RenderConfig):
     )
     return reference_cpu.interpolate_gbuffer(
         setup, winner, config.width, config.height, config.sample_positions,
-        pg.world, pg.uvs, pg.normals,
+        pg.vattrs,
         pg.mat_kind, pg.mat_color, pg.tex_id, depth,
         normal_map_id=pg.normal_map_id,
     )

@@ -100,8 +100,7 @@ def build_attr_fields(setup: TriangleSetup, pg) -> jnp.ndarray:
     """
     from .geometry import attribute_planes  # local to avoid cycle at import
 
-    vertex_vals = jnp.concatenate(
-        [pg.world, pg.uvs, pg.normals], axis=-1).reshape(-1, 3, 8)
+    vertex_vals = pg.vattrs                          # [T, 3, 8]
     ap = attribute_planes(setup, vertex_vals)        # [T, 8, 3]
     iw = scalar_planes(setup, setup.inv_w)           # [T, 3]
     consts = jnp.stack([
@@ -221,17 +220,24 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     small = live & (span <= span_cap)
     big = live & (span > span_cap)
 
-    # --- expansion: (tile, tri) pairs, stably sorted by tile --------------
-    j = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
-    dx = j % wspan[:, None]
-    dy = j // wspan[:, None]
-    tile = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)
-    slot_ok = small[:, None] & (j < span[:, None])
+    # --- expansion: (tile, tri) pairs, sorted by (tile, tri) --------------
+    # j-MAJOR layout, flattened over the MAJOR dim: a (T, span_cap) ->
+    # (E,) minor-dim merge compiles in O(E) on this platform's XLA build
+    # (~0.17 ms/element — measured; the config-5 compile blowup), while
+    # the (span_cap, T) major merge is O(1). Submission order within a
+    # tile is restored by sorting with the triangle id as a SECOND key —
+    # (tile, tri) pairs are unique, so this is bit-identical to the
+    # previous tri-major stable sort.
+    j = jnp.arange(span_cap, dtype=jnp.int32)[:, None]
+    dx = j % wspan[None, :]
+    dy = j // wspan[None, :]
+    tile = (ty0[None, :] + dy) * ntx + (tx0[None, :] + dx)
+    slot_ok = small[None, :] & (j < span[None, :])
     keys = jnp.where(slot_ok, tile, nt).astype(jnp.int32).reshape(-1)
     payload = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, span_cap)).reshape(-1)
+        jnp.arange(T, dtype=jnp.int32)[None, :], (span_cap, T)).reshape(-1)
     keys_sorted, payload_sorted = jax.lax.sort(
-        (keys, payload), num_keys=1, is_stable=True)
+        (keys, payload), num_keys=2)
 
     tiles_range = jnp.arange(nt, dtype=jnp.int32)
     starts = jnp.searchsorted(keys_sorted, tiles_range, side="left")
@@ -246,18 +252,16 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     chunk_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)])
 
-    # Chunk-aligned position of each sorted entry WITHOUT per-entry table
-    # lookups: pos = e_idx + (padding inserted before my tile). Per-tile
-    # padding (chunk_start*CHUNK - starts) is non-decreasing over tiles,
-    # so a small scatter to each tile's first-entry position followed by
-    # a running max forward-fills it to every entry.
+    # Chunk-aligned position of each sorted entry: pos = e_idx + (padding
+    # inserted before my tile). keys_sorted[e] IS the entry's tile, so the
+    # per-tile padding (chunk_start*CHUNK - starts) is fetched with one
+    # flat gather. (A scatter-to-first-entry + running-max formulation is
+    # equivalent but its associative_scan compiles in O(E) on this
+    # platform's XLA build — ~170 s at 1M entries.)
     E = keys_sorted.shape[0]
     e_idx = jnp.arange(E, dtype=jnp.int32)
     pad_before = chunk_start * CHUNK - starts              # [NT], monotone
-    padfill = jnp.zeros((E + 1,), jnp.int32).at[starts].max(
-        pad_before, mode="drop")
-    padfill = jax.lax.associative_scan(jnp.maximum, padfill)[:E]
-    pos = e_idx + padfill
+    pos = e_idx + pad_before[jnp.minimum(keys_sorted, nt - 1)]
     valid_entry = keys_sorted < nt
     pos = jnp.where(valid_entry, pos, mc * CHUNK)          # dump padding
 

@@ -21,6 +21,7 @@ edge is horizontal pointing +x (top edge) or has dy < 0 (left edge).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
@@ -182,10 +183,18 @@ def clip_near(clip, attrs=None):
     first_out = jnp.argmax(~inside, axis=-1)
     r = jnp.where(count == 1, first_in,
                   jnp.where(count == 2, (first_out + 1) % 3, 0))
-    idx = (r[:, None] + jnp.arange(3)[None, :]) % 3      # [T,3]
-    rows = jnp.arange(T)[:, None]
-    vrot = data[rows, idx]                               # [T,3,4+D]
-    drot = d[rows, idx]                                  # [T,3]
+    # r in {0,1,2}: select among the three static rotations instead of a
+    # [T,3] advanced-indexing gather (the gather compiles in O(T) on
+    # this platform's XLA build — ~220 s at 1M triangles).
+
+    def rot(x, k):
+        return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
+
+    rsel = r[:, None, None] if data.ndim == 3 else r[:, None]
+    vrot = jnp.where(rsel == 0, data,
+                     jnp.where(rsel == 1, rot(data, 1), rot(data, 2)))
+    drot = jnp.where(r[:, None] == 0, d,
+                     jnp.where(r[:, None] == 1, rot(d, 1), rot(d, 2)))
 
     def intersect(a, b, da, db):
         denom = da - db
@@ -215,7 +224,11 @@ def clip_near(clip, attrs=None):
     tri1 = jnp.stack([t1v0, t1v1, t1v2], axis=1)         # [T,3,4+D]
     tri2 = jnp.stack([t2v0, t2v1, t2v2], axis=1)
     out = jnp.stack([tri1, tri2], axis=1).reshape(2 * T, 3, -1)
-    parent = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
+    # [0,0,1,1,...] via interior-padded adds: jnp.repeat's broadcast +
+    # minor-dim-merge reshape compiles in O(T) on this platform.
+    ar = jnp.arange(T, dtype=jnp.int32)
+    parent = (jax.lax.pad(ar, jnp.int32(0), [(0, 1, 1)])
+              + jax.lax.pad(ar, jnp.int32(0), [(1, 0, 1)]))
     if attrs is None:
         return out[..., :4], None, parent
     return out[..., :4], out[..., 4:], parent

@@ -118,21 +118,20 @@ def rasterize_brute_force(setup: TriangleSetup, width, height,
 
 
 def interpolate_gbuffer(setup: TriangleSetup, winner, width, height,
-                        sample_positions, world, uvs, normals,
+                        sample_positions, vattrs,
                         mat_kind, mat_color, tex_id, depth,
                         normal_map_id=None) -> GBuffer:
     """Perspective-correct attribute interpolation for the visible triangle.
 
-    world/uvs/normals: per-vertex [V, D] with V = 3*T (triangle soup).
-    Gathers the winning triangle's data per sample and applies the 1/w
-    weighting (Metal [[stage_in]] interpolation).
+    vattrs: per-triangle vertex attributes [T, 3, 8] (world xyz | uv |
+    normal xyz). Gathers the winning triangle's data per sample and
+    applies the 1/w weighting (Metal [[stage_in]] interpolation).
 
     Samples are processed sequentially (lax.map) so peak memory stays at
     one [H, W] sample's worth of gather temporaries — at 1080p x 4 MSAA the
     all-samples-at-once formulation overflows HBM.
     """
-    attrs = jnp.concatenate([world, uvs, normals], axis=-1)  # [V, 8]
-    attrs_t = attrs.reshape(-1, 3, attrs.shape[-1])          # [T, 3, 8]
+    attrs_t = vattrs                                         # [T, 3, 8]
 
     def one_sample(args):
         win_s, off = args

@@ -133,8 +133,9 @@ def test_perspective_correct_interpolation():
     uvs = jnp.asarray(np.array([[0, 0], [1, 0], [0, 1]], np.float32))
     world = jnp.zeros((3, 3))
     normals = jnp.zeros((3, 3))
+    vattrs = jnp.concatenate([world, uvs, normals], axis=-1)[None]  # [1,3,8]
     g = reference_cpu.interpolate_gbuffer(
-        s, win, W, H, CENTER, world, uvs, normals,
+        s, win, W, H, CENTER, vattrs,
         jnp.zeros(1, jnp.int32), jnp.zeros((1, 3)), -jnp.ones(1, jnp.int32),
         depth)
     # At screen midpoint between v0 and v1, perspective-correct u is

@@ -234,41 +234,56 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     tile = (ty0[None, :] + dy) * ntx + (tx0[None, :] + dx)
     slot_ok = small[None, :] & (j < span[None, :])
     keys = jnp.where(slot_ok, tile, nt).astype(jnp.int32).reshape(-1)
-    payload = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[None, :], (span_cap, T)).reshape(-1)
-    keys_sorted, payload_sorted = jax.lax.sort(
-        (keys, payload), num_keys=2)
+    # Dead entries carry payload T (the zero field row): the slot array
+    # below is a PREFIX slice of the sorted payload, and the tail of that
+    # prefix can reach into the key==nt region.
+    payload = jnp.where(
+        slot_ok, jnp.arange(T, dtype=jnp.int32)[None, :], T).reshape(-1)
 
+    # --- chunk alignment by PRE-PADDING the sort input ---------------------
+    # Tile t needs (CHUNK - count_t % CHUNK) % CHUNK dead filler entries
+    # for its run to end at a chunk boundary. Those fillers are generated
+    # UP FRONT from a key histogram and sorted together with the real
+    # entries (filler payload = T sorts after every real id within the
+    # tile), so the sorted order IS the chunk-aligned layout: slot_tri is
+    # simply the sorted payload, with no per-entry position computation.
+    # (The alternatives all compile in O(E) on this platform's XLA build:
+    # a scatter-to-first-entry + associative_scan running max ~170 s at
+    # 1M entries, a 1-D pad_before[keys] gather >25 min.)
+    counts_pre = jnp.zeros((nt + 1,), jnp.int32).at[keys].add(1)[:nt]
+    need = (CHUNK - counts_pre % CHUNK) % CHUNK            # [NT]; 0 if empty
     tiles_range = jnp.arange(nt, dtype=jnp.int32)
+    pk = jnp.arange(CHUNK - 1, dtype=jnp.int32)[:, None]   # [CHUNK-1, NT]
+    pad_keys = jnp.where(pk < need[None, :], tiles_range[None, :],
+                         nt).astype(jnp.int32).reshape(-1)
+    n_entries = mc * CHUNK
+    # The prefix slice below needs at least n_entries sort entries.
+    extra = max(0, n_entries - (keys.shape[0] + pad_keys.shape[0]))
+    all_keys = jnp.concatenate(
+        [keys, pad_keys, jnp.full((extra,), nt, jnp.int32)])
+    all_payload = jnp.concatenate(
+        [payload, jnp.full((pad_keys.shape[0] + extra,), T, jnp.int32)])
+    keys_sorted, payload_sorted = jax.lax.sort(
+        (all_keys, all_payload), num_keys=2)
+
     starts = jnp.searchsorted(keys_sorted, tiles_range, side="left")
     counts = (jnp.searchsorted(keys_sorted, tiles_range, side="right")
-              - starts).astype(jnp.int32)
+              - starts).astype(jnp.int32)                  # incl. fillers
     starts = starts.astype(jnp.int32)
 
-    # --- chunk-aligned layout ---------------------------------------------
     # Empty tiles own zero chunks (the band kernel initializes the whole
-    # band up front, so no per-tile init chunk is needed).
-    nchunks = (-(-counts // CHUNK)).astype(jnp.int32)      # [NT]
+    # band up front, so no per-tile init chunk is needed). counts is
+    # already CHUNK-aligned, so nchunks * CHUNK == counts and every
+    # tile's run starts at chunk_start * CHUNK == starts.
+    nchunks = (counts // CHUNK).astype(jnp.int32)          # [NT]
     chunk_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)])
 
-    # Chunk-aligned position of each sorted entry: pos = e_idx + (padding
-    # inserted before my tile). keys_sorted[e] IS the entry's tile, so the
-    # per-tile padding (chunk_start*CHUNK - starts) is fetched with one
-    # flat gather. (A scatter-to-first-entry + running-max formulation is
-    # equivalent but its associative_scan compiles in O(E) on this
-    # platform's XLA build — ~170 s at 1M entries.)
-    E = keys_sorted.shape[0]
-    e_idx = jnp.arange(E, dtype=jnp.int32)
-    pad_before = chunk_start * CHUNK - starts              # [NT], monotone
-    pos = e_idx + pad_before[jnp.minimum(keys_sorted, nt - 1)]
-    valid_entry = keys_sorted < nt
-    pos = jnp.where(valid_entry, pos, mc * CHUNK)          # dump padding
-
-    n_entries = mc * CHUNK
-    slot_tri = jnp.full((n_entries + 1,), T, jnp.int32)
-    slot_tri = slot_tri.at[pos].set(payload_sorted, mode="drop")
-    slot_tri = slot_tri[:n_entries]
+    # All real+filler entries of live tiles fit in mc*CHUNK slots
+    # (sum ceil(c_t/CHUNK) <= E/CHUNK + NT = mc); key-nt padding sorts
+    # past them and is sliced off (or, at low tile counts, carries
+    # payload T = the zero field row).
+    slot_tri = payload_sorted[:n_entries]
     vis_ext = jnp.concatenate(
         [fields, jnp.zeros((1, n_fields), jnp.float32)])   # dead row = T
     chunks = _fields_to_chunks(vis_ext[slot_tri])

@@ -204,7 +204,18 @@ def _sample_rgb(mips, u, v, tiled_sampler, use_mipmaps, mask=None):
     """
     n_levels = len(mips)
     if tiled_sampler:
-        from .mip_pallas import sample_pyramid_tiled
+        from .mip_pallas import sample_pyramid_tiled, MWIN_H, MWIN_W
+        if not (use_mipmaps and n_levels > 1):
+            # Truncated chain: the kernel's LOD-escalation escape hatch
+            # (bump uv-discontinuous tiles to a coarser level) has no
+            # coarser level to go to. A single-level texture larger than
+            # the per-tile window could then clamp taps to the window
+            # border (wrong texels) on seam/discontinuous tiles — fall
+            # back to the exact XLA gather sampler for those textures.
+            h0, w0 = mips[0].shape[0], mips[0].shape[1]
+            if w0 > MWIN_W - 130 or h0 > MWIN_H - 10:
+                t = sampling.sample_bilinear(mips[0], u, v)
+                return (t[..., 0], t[..., 1], t[..., 2])
         if use_mipmaps and n_levels > 1:
             lod = _texture_lod(u, v, mips[0].shape[1], mips[0].shape[0])
         else:

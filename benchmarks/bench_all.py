@@ -113,36 +113,103 @@ def bench_config(idx, scene, camera, lighting, config):
     }
 
 
+def bench_config5_sharded(scene, camera, lighting, config):
+    """Config 5 through the parallel/sharding.py frame-batch path
+    (BASELINE config 5 specifies the sharded batch shape; on one real
+    chip this is a 1-device mesh — the sharding program itself, not
+    multi-chip speedup, is what this records)."""
+    from metalrenderer_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh()
+    frames = 2 * mesh.size
+    disps = jnp.linspace(0.0, 0.05, frames)
+    dths = camera.theta + jnp.linspace(0.0, 0.2, frames)
+
+    reduce = jax.jit(jnp.mean)  # drain via a small compiled fetch
+
+    def run():
+        fb = sharding.render_frame_batch(
+            scene, camera, lighting, disps, dths, mesh, config=config)
+        return float(reduce(fb))
+
+    t0 = time.perf_counter()
+    total = run()
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        total = run()
+        best = min(best, time.perf_counter() - t0)
+
+    n_tris = sum(int(i.mesh.positions.shape[0]) // 3
+                 for i in scene.instances)
+    fps = frames / best
+    return {
+        "config": "5_sharded_frame_batch",
+        "mesh_devices": mesh.size,
+        "width": config.width, "height": config.height,
+        "msaa": config.msaa, "triangles": n_tris,
+        "ms_per_frame": round(best / frames * 1e3, 3),
+        "fps": round(fps, 2),
+        "mpixel_s": round(fps * config.width * config.height / 1e6, 2),
+        "mtri_s": round(fps * n_tris / 1e6, 3),
+        "compile_s": round(compile_s, 1),
+        "checksum": round(total, 4),
+    }
+
+
 BUILDERS = {
     1: lambda: cfgs.config1_textured_cube(),
     2: lambda: cfgs.config2_multi_mesh(),
     3: lambda: cfgs.config3_high_poly(),
     4: lambda: cfgs.config4_shadow_normal_map(),
-    # Full 1M @ 4K compiles (prep: 694 s) but the whole-pipeline XLA
-    # compile exceeds this platform's practical window (>50 min through
-    # the remote compile helper); benched at the largest size that
-    # compiles in-session per VERDICT r1 item 4.
-    5: lambda: cfgs.config5_animated_high_poly(
-        target_tris=500_000, width=2560, height=1440),
+    5: lambda: cfgs.config5_animated_high_poly(),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,5s")
+    ap.add_argument("--tris5", type=int, default=None,
+                    help="override config-5 triangle count")
+    ap.add_argument("--size5", default=None,
+                    help="override config-5 resolution WxH")
+    ap.add_argument("--skip-psnr", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    def build5():
+        kw = {}
+        if args.tris5:
+            kw["target_tris"] = args.tris5
+        if args.size5:
+            w, h = args.size5.split("x")
+            kw["width"], kw["height"] = int(w), int(h)
+        return cfgs.config5_animated_high_poly(**kw)
+
     results = []
-    for idx in [int(c) for c in args.configs.split(",")]:
+    for c in args.configs.split(","):
+        if c == "5s":
+            try:
+                r = bench_config5_sharded(*build5())
+            except Exception as e:
+                r = {"config": "5_sharded_frame_batch",
+                     "error": str(e)[:500]}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            continue
+        idx = int(c)
         try:
-            scene, camera, lighting, config = BUILDERS[idx]()
+            scene, camera, lighting, config = (
+                build5() if idx == 5 else BUILDERS[idx]())
             r = bench_config(idx, scene, camera, lighting, config)
         except Exception as e:  # report, keep benching the rest
             r = {"config": idx, "error": str(e)[:500]}
-        try:
-            r["psnr_vs_reference_db"], r["psnr_scale"] = psnr_config(idx)
-        except Exception as e:
-            r["psnr_error"] = str(e)[:500]
+        if not args.skip_psnr:
+            try:
+                r["psnr_vs_reference_db"], r["psnr_scale"] = psnr_config(idx)
+            except Exception as e:
+                r["psnr_error"] = str(e)[:500]
         results.append(r)
         print(json.dumps(r), flush=True)
     if args.out:

@@ -164,6 +164,14 @@ def render_frame(scene: Scene, camera, lighting,
     proj = camera.projection_matrix()
     setup, pass_geom = prepare_main_pass(geom, view, proj, config)
     stats["culled_triangles"] = jnp.sum(~setup.valid)
+    # x/y extents are handled by the f32 edge-function precision envelope
+    # (stress-tested exact out to ~5e5 px off-screen coordinates,
+    # tests/test_raster_stress.py) rather than a hardware clipper. Like
+    # the big-list cap, leaving it is DETECTED, never silent: scenes
+    # whose post-near-clip vertices exceed the envelope surface here.
+    stats["max_screen_coord"] = jnp.max(
+        jnp.where(setup.valid[:, None, None],
+                  jnp.abs(setup.screen), 0.0))
 
     if backend == "pallas":
         from ..raster import raster_pallas

@@ -35,6 +35,11 @@ def test_audio_app_renders_cube_light_plane():
     # (plane color {.5,.7,.5} * lighting): green channel dominates red.
     bottom = fb[90, 64]
     assert bottom[1] > bottom[0] > 0.05, bottom
+    # The x/y precision-envelope detector: the near-clipped floor plane
+    # extends well past the viewport but stays far inside the
+    # stress-tested ~5e5 px envelope.
+    mx = float(stats["max_screen_coord"])
+    assert 128.0 < mx < 5e5, mx
 
 
 def test_displacement_scales_cube():

@@ -31,32 +31,48 @@ def _render(scene, camera, lighting, cfg, backend="pallas"):
     return fb, stats
 
 
+def _assert_parity(scene, cam, light, cfg, fb_pallas, bar_db=40.0):
+    """Pallas vs brute-force-reference PSNR >= the BASELINE bar (the
+    same-feature interpret-mode check; real-TPU numbers are recorded
+    separately in benchmarks/results_r03.json, tests/test_tpu_parity.py)."""
+    fb_ref, _ = _render(scene, cam, light, cfg, backend="reference")
+    mse = float(np.mean((fb_pallas - fb_ref) ** 2))
+    psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else np.inf
+    assert psnr >= bar_db, f"PSNR {psnr:.1f} dB < {bar_db}"
+
+
 def test_config1_textured_cube():
     scene, cam, light, cfg = configs.config1_textured_cube()
-    fb, stats = _render(scene, cam, light, _small(cfg))
+    small = _small(cfg)
+    fb, stats = _render(scene, cam, light, small)
     assert float(stats["covered_fraction"]) > 0.05
     # Checker pattern visible: distinct bright/dark texel populations.
     lit = fb[..., :3].max(-1)
     vals = fb[lit > 0.15][:, 1]
     assert vals.std() > 0.05
+    _assert_parity(scene, cam, light, small, fb)
 
 
 def test_config2_multi_mesh():
     scene, cam, light, cfg = configs.config2_multi_mesh(n_objects=8)
-    fb, stats = _render(scene, cam, light, _small(cfg))
+    small = _small(cfg)
+    fb, stats = _render(scene, cam, light, small)
     assert float(stats["covered_fraction"]) > 0.3
     # Multiple palette colors present (depth test resolves objects).
     px = fb[..., :3].reshape(-1, 3)
     blueish = ((px[:, 2] > px[:, 0] * 1.3) & (px[:, 2] > 0.1)).sum()
     orangeish = ((px[:, 0] > px[:, 2] * 1.3) & (px[:, 0] > 0.1)).sum()
     assert blueish > 3 and orangeish > 3, (blueish, orangeish)
+    _assert_parity(scene, cam, light, small, fb)
 
 
 def test_config3_high_poly_small():
     scene, cam, light, cfg = configs.config3_high_poly(target_tris=5000)
-    fb, stats = _render(scene, cam, light, _small(cfg))
+    small = _small(cfg)
+    fb, stats = _render(scene, cam, light, small)
     assert int(stats["num_triangles"]) >= 4000
     assert float(stats["covered_fraction"]) > 0.1
+    _assert_parity(scene, cam, light, small, fb)
 
 
 def test_config4_normal_mapping_changes_shading():
@@ -75,6 +91,7 @@ def test_config4_normal_mapping_changes_shading():
         ),
         textures=scene.textures)
     fb_flat, _ = _render(flat, cam, light, small)
+    _assert_parity(scene, cam, light, small, fb_nm)
     diff = np.abs(fb_nm - fb_flat)
     # The bump pattern must alter cube shading noticeably...
     assert diff.max() > 0.05, diff.max()
@@ -89,3 +106,4 @@ def test_config5_animated_tiny():
     fb1, s1 = mr.render(scene, cam.replace(aspect=2.0), light, cfg,
                         displacement=0.4, backend="pallas")
     assert not np.allclose(fb0, np.asarray(fb1))
+    _assert_parity(scene, cam, light, cfg, fb0)

@@ -25,7 +25,8 @@ from metalrenderer_tpu.config import RenderConfig, ShadowConfig
 from metalrenderer_tpu.engine import audio_app
 from metalrenderer_tpu.scene.camera import OrbitCamera
 from metalrenderer_tpu.scene.lights import Lighting
-from metalrenderer_tpu.passes.pipeline import render_frame
+from metalrenderer_tpu.passes.pipeline import (render_frame,
+                                               render_frame_batch_fused)
 from metalrenderer_tpu.utils import profiling
 
 WIDTH, HEIGHT = 1920, 1080
@@ -45,32 +46,46 @@ def main():
     # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
     # large device arrays embeds them as HLO constants, which this
     # platform's remote compile helper chokes on at scale.
-    @jax.jit
-    def run_batch(scene, camera, lighting, disps):
-        def one_frame(carry, disp):
-            fb, _ = render_frame(scene, camera, lighting, config,
-                                 ShadowConfig(), disp,
-                                 jnp.asarray([0.0, 0.0, -1.0]),
-                                 backend="pallas")
-            # Rolling checksum; per-frame means keep the stacked output
-            # small (full frames would be 16 MB each).
-            return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
-        total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
-        return total, means
+    if "--scan" in sys.argv:
+        # Legacy shape: one scan step + two kernel launches per frame.
+        @jax.jit
+        def run_batch(scene, camera, lighting, disps, thetas):
+            def one_frame(carry, disp):
+                fb, _ = render_frame(scene, camera, lighting, config,
+                                     ShadowConfig(), disp,
+                                     jnp.asarray([0.0, 0.0, -1.0]),
+                                     backend="pallas")
+                return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
+            total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
+            return total, means
+    else:
+        # Serving shape: the WHOLE batch in two kernel launches (batched
+        # shadow pass + frame-folded fused raster/shade grid), prep and
+        # binning vectorized across frames.
+        @jax.jit
+        def run_batch(scene, camera, lighting, disps, thetas):
+            rgba, _ = render_frame_batch_fused(
+                scene, camera, lighting, config, ShadowConfig(),
+                disps, thetas)
+            means = jnp.mean(rgba, axis=(1, 2))
+            return jnp.sum(jnp.mean(means, axis=-1)), means
 
     disps = jnp.linspace(0.0, 0.05, FRAMES)
-    total, means = run_batch(scene, camera, lighting, disps)
+    thetas = jnp.full((FRAMES,), camera.theta, jnp.float32)
+    total, means = run_batch(scene, camera, lighting, disps, thetas)
     jax.block_until_ready((total, means))
 
     if "--trace" in sys.argv:
         with profiling.device_trace() as d:
-            jax.block_until_ready(run_batch(scene, camera, lighting, disps))
+            jax.block_until_ready(
+                run_batch(scene, camera, lighting, disps, thetas))
         print(f"# trace written to {d}", file=sys.stderr)
 
     best = float("inf")
     for _ in range(REPS):
         sec, (total, means) = profiling.timed(
-            run_batch, scene, camera, lighting, disps, iters=1, warmup=0)
+            run_batch, scene, camera, lighting, disps, thetas,
+            iters=1, warmup=0)
         best = min(best, sec)
 
     fps = FRAMES / best

@@ -105,6 +105,21 @@ def _get_backend(name):
     raise ValueError(f"unknown rasterizer backend: {name}")
 
 
+def _fused_uniforms(m, camera, light_anchor, light, lighting, config):
+    """Pack the fused-shade kernel's scalar uniforms (FU_* layout)."""
+    return jnp.concatenate([
+        m.reshape(-1),
+        jnp.asarray(camera.position, jnp.float32),
+        light_anchor,
+        jnp.asarray(light.color, jnp.float32),
+        jnp.asarray(lighting.ambient_intensity, jnp.float32).reshape(1),
+        jnp.asarray(lighting.shininess, jnp.float32).reshape(1),
+        jnp.asarray(config.clear_color, jnp.float32),
+        jnp.asarray(config.shadow_bias, jnp.float32).reshape(1),
+        jnp.asarray(config.shadow_factor, jnp.float32).reshape(1),
+    ])
+
+
 def render_frame(scene: Scene, camera, lighting,
                  config: RenderConfig = RenderConfig(),
                  shadow_config: ShadowConfig = ShadowConfig(),
@@ -192,18 +207,8 @@ def render_frame(scene: Scene, camera, lighting,
                             precision="highest")
             else:
                 m = jnp.zeros((4, 4), jnp.float32)
-            funi = jnp.concatenate([
-                m.reshape(-1),
-                jnp.asarray(camera.position, jnp.float32),
-                light_anchor,
-                jnp.asarray(light.color, jnp.float32),
-                jnp.asarray(lighting.ambient_intensity,
-                            jnp.float32).reshape(1),
-                jnp.asarray(lighting.shininess, jnp.float32).reshape(1),
-                jnp.asarray(config.clear_color, jnp.float32),
-                jnp.asarray(config.shadow_bias, jnp.float32).reshape(1),
-                jnp.asarray(config.shadow_factor, jnp.float32).reshape(1),
-            ])
+            funi = _fused_uniforms(m, camera, light_anchor, light,
+                                   lighting, config)
             rgba, covf, rstats = raster_pallas.render_fused(
                 setup, pass_geom, funi, config.width, config.height,
                 tuple(config.sample_positions),
@@ -279,3 +284,87 @@ def render(scene, camera, lighting, config=RenderConfig(),
     """Jitted entry point — one XLA program per (scene-structure, config)."""
     return render_frame(scene, camera, lighting, config, shadow_config,
                         displacement, shadow_target, backend)
+
+
+def render_frame_batch_fused(scene: Scene, camera, lighting,
+                             config: RenderConfig,
+                             shadow_config: ShadowConfig,
+                             displacements, thetas,
+                             shadow_target=(0.0, 0.0, -1.0)):
+    """A batch of frames through the fused-shade path in TWO kernel
+    launches total (batched shadow pass + batched raster/shade), with
+    all prep/binning vectorized across frames — the zero-dispatch
+    serving shape (vs one scan step and two launches PER FRAME).
+
+    Eligibility matches render_frame's fused_ok: untextured
+    Blinn-Phong/emissive/shadow materials, point light, per-pixel
+    shading, 8x128 tiles. Raises ValueError otherwise.
+
+    ``displacements``, ``thetas``: f32[F] per-frame animation params
+    (audio displacement scalar; orbit camera angle).
+    Returns (rgba f32[F, H, W, 4], stats with per-frame leaves).
+    """
+    from ..raster import raster_pallas
+
+    light = lighting.light
+    if isinstance(light, lights_mod.DirectionalLight):
+        raise ValueError("fused batch path needs a point light")
+    if len(scene.textures):
+        raise ValueError("fused batch path is untextured-only")
+    if not (config.shading_per_pixel and config.fused_shade
+            and config.tile_h == 8 and config.tile_w == 128):
+        raise ValueError("fused batch path needs per-pixel 8x128 config")
+
+    displacements = jnp.asarray(displacements, jnp.float32)
+    thetas = jnp.asarray(thetas, jnp.float32)
+    wants_shadow = _wants_shadow(scene)
+    shadow_target_a = jnp.asarray(shadow_target, jnp.float32)
+
+    light_anchor = lights_mod.light_anchor_position(
+        light, shadow_target, shadow_config)
+    if wants_shadow:
+        light_view = lights_mod.light_view_matrix(
+            light_anchor, shadow_target_a)
+        light_proj = lights_mod.light_projection_matrix(shadow_config)
+        m = jnp.dot(light_proj, light_view, precision="highest")
+    else:
+        m = jnp.zeros((4, 4), jnp.float32)
+
+    def prep_frame(disp, theta):
+        cam = camera.replace(theta=theta)
+        geom = bake(scene, disp)
+        out = {}
+        if wants_shadow:
+            clip_l = project(geom.world, light_view, light_proj)
+            clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
+            setup_l = setup_triangles(
+                clip_l2, config.shadow_map_size, config.shadow_map_size,
+                cull_backfaces=False, near_eps=config.near_eps)
+            out["setup_l"] = setup_l.replace(
+                valid=setup_l.valid & geom.cast_shadow[parent_l])
+        setup, pg = prepare_main_pass(
+            geom, cam.view_matrix(), cam.projection_matrix(), config)
+        out["setup"], out["pg"] = setup, pg
+        out["funi"] = _fused_uniforms(m, cam, light_anchor, light,
+                                      lighting, config)
+        return out
+
+    batch = jax.vmap(prep_frame)(displacements, thetas)
+    stats = {}
+
+    shadow_maps = None
+    if wants_shadow:
+        shadow_maps = raster_pallas.rasterize_depth_batch(
+            batch["setup_l"], config.shadow_map_size,
+            config.shadow_tile_h, config.shadow_tile_w,
+            big_capacity=config.big_capacity, clear_depth=1.0)
+
+    rgba, covf, rstats = raster_pallas.render_fused_batch(
+        batch["setup"], batch["pg"], batch["funi"],
+        config.width, config.height, tuple(config.sample_positions),
+        shadow_map_b=shadow_maps,
+        span_cap=config.span_cap, big_capacity=config.big_capacity,
+        clear_depth=config.clear_depth)
+    stats["big_dropped"] = rstats["big_dropped"]        # [F]
+    stats["covered_fraction"] = jnp.mean(covf, axis=(1, 2))
+    return rgba, stats

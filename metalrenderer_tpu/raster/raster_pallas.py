@@ -89,7 +89,16 @@ def _cdiv(a, b):
 
 
 def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
-                 with_attrs, attr_px=False, fused=None):
+                 with_attrs, attr_px=False, fused=None,
+                 frames=1, nbands=None, bcap=None, sm_len=None):
+    """``frames > 1`` folds a FRAME BATCH into the band grid: grid step
+    g renders band g % nbands of frame g // nbands. Per-band scalar
+    arrays (band_start/band_end pre-offset by frame*MC, sub_of_chunk)
+    arrive flattened [F*NB]/[F*MC]; per-frame arrays (big list, fused
+    uniforms, window min/max, the shadow map rows) are indexed at
+    frame offsets. One kernel launch renders the whole batch — the
+    zero-dispatch serving shape. frames == 1 generates byte-identical
+    code to the unbatched kernel (all offsets are Python-constant 0)."""
     n_samples = len(sample_offsets)
     P = tile_h * tile_w
     SP = n_samples * P          # samples folded into lanes, sample-major
@@ -392,7 +401,13 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
              cbuf, sems) = args
             outs = (depth_out, win_out)
 
-        b = pl.program_id(0)
+        gid = pl.program_id(0)
+        if frames == 1:
+            fr = 0                     # Python 0: offsets fold away
+            b = gid
+        else:
+            fr = gid // nbands
+            b = jax.lax.rem(gid, nbands)
         oy = (b * tile_h).astype(jnp.float32)
 
         # Initialize the whole band once.
@@ -408,8 +423,8 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             gout[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H, :] = \
                 jnp.full((TILE8_H, ntx * p8w), clear_depth, jnp.float32)
 
-        s0 = band_start[b]
-        n = band_end[b] - s0
+        s0 = band_start[gid]
+        n = band_end[gid] - s0
 
         def start_dma(slot, ci):
             pltpu.make_async_copy(
@@ -455,8 +470,11 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         # 5x the needed work for mid-size "big" triangles spanning 2-3
         # subtiles (the flagship cube at 1080p).
         y0 = b * tile_h
+        big_vis0 = fr * bcap * 17 if frames > 1 else 0
+        big_attr0 = fr * bcap * (3 * 16) if frames > 1 else 0
+        big_aabb0 = fr * bcap * 4 if frames > 1 else 0
 
-        @pl.when(big_n[0] > 0)
+        @pl.when(big_n[fr] > 0)
         def _():
             # Folded per-SUBTILE coordinate planes (computed once per
             # band): sublane r, lane c hold sample flat = r*p8w + c ->
@@ -474,7 +492,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             yr = (p_i // tile_w).astype(jnp.float32) + offy
 
             def tri_body(t, _):
-                f = t * 17
+                f = big_vis0 + t * 17
                 a0, b0, c0 = big_tri[f + 0], big_tri[f + 1], big_tri[f + 2]
                 a1, b1, c1 = big_tri[f + 3], big_tri[f + 4], big_tri[f + 5]
                 a2, b2, c2 = big_tri[f + 6], big_tri[f + 7], big_tri[f + 8]
@@ -483,10 +501,10 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                                  big_tri[f + 14])
                 vld = big_tri[f + 15]
                 tid = big_tri[f + 16]
-                bx0 = big_aabb[t * 4 + 0]
-                by0 = big_aabb[t * 4 + 1]
-                bx1 = big_aabb[t * 4 + 2]
-                by1 = big_aabb[t * 4 + 3]
+                bx0 = big_aabb[big_aabb0 + t * 4 + 0]
+                by0 = big_aabb[big_aabb0 + t * 4 + 1]
+                bx1 = big_aabb[big_aabb0 + t * 4 + 2]
+                by1 = big_aabb[big_aabb0 + t * 4 + 3]
                 ov = (vld > 0.0) & (by0 < y0 + tile_h) & (by1 > y0)
 
                 @pl.when(ov)
@@ -539,7 +557,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 gout_ref = outs[2]
                 xs_abs = ox + xr
                 ys_abs = oy + yr
-                af = t * (3 * 16)
+                af = big_attr0 + t * (3 * 16)
                 for g in range(ATTR_GROUPS):
                     ag = big_attr[af + g]
                     bg = big_attr[af + 16 + g]
@@ -573,7 +591,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                     jnp.int32, (TILE8_H, tile_w), 0).astype(jnp.float32)
                     + oy + sel_oy8)
                 lane_px = pl.multiple_of(sub * tile_w, tile_w)
-                af = t * (3 * 16)
+                af = big_attr0 + t * (3 * 16)
                 for g in range(ATTR_GROUPS):
                     ag = big_attr[af + g]
                     bg = big_attr[af + 16 + g]
@@ -587,7 +605,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 gout_ref[ROW_DEPTH * TILE8_H:(ROW_DEPTH + 1) * TILE8_H,
                          pl.ds(lane_px, tile_w)] = cnt8
 
-            jax.lax.fori_loop(0, big_n[0], tri_body, 0)
+            jax.lax.fori_loop(0, big_n[fr], tri_body, 0)
 
         if fused is None:
             return
@@ -598,15 +616,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
         # band. Mirrors shade.shade_channels / shade._shadow_factor_soa
         # expression order so results match the unfused pallas path.
         # (BlinnPhong.metal:44-57 fragment shading, :79-96 shadow test.)
-        m = [funi[FU_M + k] for k in range(16)]
-        cam = [funi[FU_CAM + k] for k in range(3)]
-        lpos = [funi[FU_LPOS + k] for k in range(3)]
-        lcol = [funi[FU_LCOL + k] for k in range(3)]
-        amb = funi[FU_AMB]
-        shin = funi[FU_SHIN]
-        clear = [funi[FU_CLEAR + k] for k in range(4)]
-        sh_bias = funi[FU_BIAS]
-        sh_factor = funi[FU_FACTOR]
+        fu0 = fr * FU_LEN if frames > 1 else 0
+        m = [funi[fu0 + FU_M + k] for k in range(16)]
+        cam = [funi[fu0 + FU_CAM + k] for k in range(3)]
+        lpos = [funi[fu0 + FU_LPOS + k] for k in range(3)]
+        lcol = [funi[fu0 + FU_LCOL + k] for k in range(3)]
+        amb = funi[fu0 + FU_AMB]
+        shin = funi[fu0 + FU_SHIN]
+        clear = [funi[fu0 + FU_CLEAR + k] for k in range(4)]
+        sh_bias = funi[fu0 + FU_BIAS]
+        sh_factor = funi[fu0 + FU_FACTOR]
         inv_s = jnp.float32(1.0 / n_samples)
         sh_cfg = fused["shadow"]
 
@@ -696,6 +715,8 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                     (jnp.floor(ymin).astype(jnp.int32) // 8) * 8,
                     0, ((th_p - win_h) // 8) * 8)
                 oidx = (wyo // 8) * nox + (wxo // 128)
+                if frames > 1:
+                    oidx = oidx + fr * sm_len
                 uval = smin_r[oidx]
                 umax = smax_r[oidx]
 
@@ -703,8 +724,16 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 def _():
                     wy8 = pl.multiple_of(wyo, 8)
                     wx128 = pl.multiple_of(wxo, 128)
+                    # Batched mode: frame fr's shadow map occupies rows
+                    # [fr*th_p, (fr+1)*th_p) of the stacked map (th_p is
+                    # a multiple of 8, so the alignment hint holds). The
+                    # offset applies to the DMA SOURCE only — window-local
+                    # coordinates below stay in per-frame texture space.
+                    wy8_src = (pl.multiple_of(wyo + fr * th_p, 8)
+                               if frames > 1 else wy8)
                     cp = pltpu.make_async_copy(
-                        smap_hbm.at[pl.ds(wy8, win_h), pl.ds(wx128, win_w)],
+                        smap_hbm.at[pl.ds(wy8_src, win_h),
+                                    pl.ds(wx128, win_w)],
                         swin, ssem)
                     cp.start()
                     cp.wait()
@@ -1046,6 +1075,208 @@ def render_fused(setup: TriangleSetup, pass_geom, fused_uniforms,
     rgba = jnp.stack([planes[0], planes[1], planes[2], planes[3]], axis=-1)
     stats = {"big_dropped": bins.num_big_dropped}
     return rgba, planes[4], stats
+
+
+def _flatten_bins(bins, F):
+    """Flatten vmapped TileBins (leading frame axis) into the layouts the
+    frame-folded kernel reads: per-band arrays become [F*NB]/[F*MC] with
+    band chunk ranges offset by frame*MC, per-frame arrays become flat
+    frame-major. Every merge here is a MAJOR-dim merge (compile-flat on
+    this platform)."""
+    MC = bins.chunks.shape[1]
+    off = (jnp.arange(F, dtype=jnp.int32) * MC)[:, None]
+    return dict(
+        band_start=(bins.band_start + off).reshape(-1),
+        band_end=(bins.band_end + off).reshape(-1),
+        sub_of_chunk=bins.sub_of_chunk.reshape(-1),
+        chunks=bins.chunks.reshape(F * MC, 4, COLS),
+        attr_chunks=(bins.attr_chunks.reshape(F * MC, 4, ATTR_COLS)
+                     if bins.attr_chunks is not None else None),
+        big_tri=bins.big_tri.reshape(-1),
+        big_attr=(bins.big_attr.reshape(-1)
+                  if bins.big_attr is not None else None),
+        big_tri_aabb=bins.big_tri_aabb.reshape(-1),
+        big_n=bins.big_n.reshape(-1),              # [F]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "tile_h", "tile_w", "span_cap",
+                     "big_capacity", "clear_depth"),
+)
+def rasterize_depth_batch(setup_b: TriangleSetup, size, tile_h, tile_w,
+                          span_cap=8, big_capacity=256, clear_depth=1.0):
+    """Depth-only raster of a FRAME BATCH in one kernel launch (the
+    batched shadow pass). ``setup_b``: TriangleSetup with a leading
+    frame axis. Returns f32[F, size, size]."""
+    F = setup_b.valid.shape[0]
+
+    def prep(setup):
+        fields = build_tri_fields(setup)
+        return bin_triangles(setup, fields, size, size, tile_w, tile_h,
+                             span_cap=span_cap, big_capacity=big_capacity)
+    bins = jax.vmap(prep)(setup_b)
+    flat = _flatten_bins(bins, F)
+
+    ntx = _cdiv(size, tile_w)
+    nty = _cdiv(size, tile_h)
+    p8w = (tile_h * tile_w) // TILE8_H            # one sample
+    kernel = _make_kernel(ntx, tile_h, tile_w, ((0.5, 0.5),), clear_depth,
+                          with_attrs=False, frames=F, nbands=nty,
+                          bcap=big_capacity)
+
+    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+               flat["big_n"], flat["big_tri"], flat["big_tri_aabb"]]
+    out_block = lambda r: pl.BlockSpec(
+        (None, r, ntx * p8w), lambda b, *refs: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(F * nty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[out_block(TILE8_H), out_block(TILE8_H)],
+        scratch_shapes=[pltpu.VMEM((2, 4, COLS), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+    )
+    depth_b, _ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((F * nty, TILE8_H, ntx * p8w), jnp.float32),
+            jax.ShapeDtypeStruct((F * nty, TILE8_H, ntx * p8w), jnp.int32),
+        ],
+        interpret=_should_interpret(),
+    )(*scalars, flat["chunks"])
+
+    d = depth_b.reshape(F, nty, TILE8_H, ntx, p8w)
+    d = d.transpose(0, 1, 3, 2, 4).reshape(
+        F, nty, ntx, 1, tile_h, tile_w)               # 1 sample
+    d = d.transpose(0, 3, 1, 4, 2, 5).reshape(
+        F, nty * tile_h, ntx * tile_w)
+    return d[:, :size, :size]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sample_offsets", "span_cap",
+                     "big_capacity", "clear_depth"),
+)
+def render_fused_batch(setup_b: TriangleSetup, pass_geom_b, funi_b,
+                       width, height, sample_offsets, shadow_map_b=None,
+                       span_cap=8, big_capacity=256, clear_depth=1.0):
+    """render_fused over a FRAME BATCH in ONE kernel launch.
+
+    Prep/binning vectorize across frames (vmapped pure XLA); the fused
+    band kernel then runs with grid (F * nbands) — zero per-frame
+    dispatches, zero scan sequencing of small ops. Inputs carry a
+    leading frame axis; ``funi_b``: f32[F, FU_LEN]; ``shadow_map_b``:
+    optional f32[F, S, S]. Returns (rgba f32[F, H, W, 4],
+    covered f32[F, H, W], stats with per-frame big_dropped)."""
+    from .sample_pallas import window_shape
+    tile_h, tile_w = TILE8_H, 128
+    F = funi_b.shape[0]
+
+    def prep(setup, pg):
+        fields = build_tri_fields(setup)
+        attr_fields = build_attr_fields(setup, pg)
+        return bin_triangles(setup, fields, width, height, tile_w, tile_h,
+                             span_cap=span_cap, big_capacity=big_capacity,
+                             attr_fields=attr_fields)
+    bins = jax.vmap(prep)(setup_b, pass_geom_b)
+    flat = _flatten_bins(bins, F)
+
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    n_samples = len(sample_offsets)
+    p8w = (n_samples * tile_h * tile_w) // TILE8_H
+
+    sm_len = None
+    if shadow_map_b is not None:
+        from .sample_pallas import WIN_H, WIN_W
+        tex_h, tex_w = shadow_map_b.shape[1:]
+        rep_y = _cdiv(WIN_H + 8, tex_h) if tex_h < WIN_H + 8 else 1
+        rep_x = _cdiv(WIN_W + 128, tex_w) if tex_w < WIN_W + 128 else 1
+        if rep_y > 1 or rep_x > 1:
+            shadow_map_b = jnp.tile(shadow_map_b, (1, rep_y, rep_x))
+        th_p, tw_p = shadow_map_b.shape[1:]
+        assert th_p % 8 == 0, "stacked shadow maps need 8-row alignment"
+        win_h, win_w = window_shape(th_p, tw_p, height, width)
+        hb, wb = th_p // 8, tw_p // 128
+        blocks = shadow_map_b[:, :hb * 8, :wb * 128].reshape(
+            F, hb, 8, wb, 128)
+        bmin = jnp.min(blocks, axis=(2, 4))
+        bmax = jnp.max(blocks, axis=(2, 4))
+        kh, kw = win_h // 8, win_w // 128
+        smin = jax.lax.reduce_window(bmin, jnp.inf, jax.lax.min,
+                                     (1, kh, kw), (1, 1, 1), "VALID")
+        smax = jax.lax.reduce_window(bmax, -jnp.inf, jax.lax.max,
+                                     (1, kh, kw), (1, 1, 1), "VALID")
+        nox = smax.shape[2]
+        sm_len = smax.shape[1] * nox
+        sh_cfg = (win_h, win_w, tex_h, tex_w, th_p, tw_p, nox)
+    else:
+        sh_cfg = None
+
+    kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
+                          clear_depth, with_attrs=True, attr_px=True,
+                          fused={"shadow": sh_cfg}, frames=F, nbands=nty,
+                          bcap=big_capacity, sm_len=sm_len)
+
+    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+               flat["big_n"], flat["big_tri"], flat["big_attr"],
+               flat["big_tri_aabb"], funi_b.reshape(-1)]
+    if sh_cfg is not None:
+        scalars += [smin.reshape(-1), smax.reshape(-1)]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM)]
+    operands = [flat["chunks"], flat["attr_chunks"]]
+    if sh_cfg is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.append(shadow_map_b.reshape(F * th_p, tw_p))
+
+    out_specs = [pl.BlockSpec((None, FB_ROWS * TILE8_H, ntx * tile_w),
+                              lambda b, *refs: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct(
+        (F * nty, FB_ROWS * TILE8_H, ntx * tile_w), jnp.float32)]
+
+    scratch = [
+        pltpu.VMEM((TILE8_H, ntx * p8w), jnp.float32),
+        pltpu.VMEM((TILE8_H, ntx * p8w), jnp.int32),
+        pltpu.VMEM((GOUT_ROWS * TILE8_H, ntx * tile_w), jnp.float32),
+        pltpu.VMEM((2, 4, COLS), jnp.float32),
+        pltpu.VMEM((2, 4, ATTR_COLS), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if sh_cfg is not None:
+        scratch += [
+            pltpu.VMEM((win_h, win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TILE8_H, tile_w), jnp.float32),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(F * nty,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    fb_bands, = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_should_interpret(),
+    )(*scalars, *operands)
+
+    planes = fb_bands.reshape(F, nty, FB_ROWS, tile_h, ntx * tile_w)
+    planes = planes.transpose(0, 2, 1, 3, 4).reshape(
+        F, FB_ROWS, nty * tile_h, ntx * tile_w)[:, :, :height, :width]
+    rgba = jnp.stack([planes[:, 0], planes[:, 1],
+                      planes[:, 2], planes[:, 3]], axis=-1)
+    stats = {"big_dropped": bins.num_big_dropped}   # [F]
+    return rgba, planes[:, 4], stats
 
 
 def channels_from_gout(gout, winner):

@@ -1,0 +1,37 @@
+"""Frame-batched fused rendering == per-frame rendering, bit for bit.
+
+render_frame_batch_fused folds F frames into the band grid of ONE
+kernel launch (plus one batched shadow pass); the math per band is
+identical to the unbatched kernel, so outputs must be exactly equal.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from metalrenderer_tpu.config import RenderConfig, ShadowConfig
+from metalrenderer_tpu.engine import audio_app
+from metalrenderer_tpu.passes.pipeline import (render_frame,
+                                               render_frame_batch_fused)
+from metalrenderer_tpu.scene.camera import OrbitCamera
+from metalrenderer_tpu.scene.lights import Lighting
+
+
+def test_fused_batch_matches_per_frame():
+    cfg = RenderConfig(width=128, height=64, msaa=4, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    disps = jnp.asarray([0.0, 0.35], jnp.float32)
+    thetas = jnp.asarray([2.5, 2.8], jnp.float32)
+
+    rgba_b, stats = render_frame_batch_fused(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
+    assert rgba_b.shape == (2, 64, 128, 4)
+    assert stats["big_dropped"].shape == (2,)
+
+    for i in range(2):
+        fb, _ = render_frame(scene, cam.replace(theta=float(thetas[i])),
+                             lighting, cfg, ShadowConfig(),
+                             float(disps[i]), (0.0, 0.0, -1.0),
+                             backend="pallas")
+        np.testing.assert_array_equal(np.asarray(rgba_b[i]),
+                                      np.asarray(fb))

@@ -114,20 +114,44 @@ def render_audio_reactive_sequence(
     cube_position = jnp.asarray(cube_position, jnp.float32)
     light_position = jnp.asarray(light_position, jnp.float32)
 
-    def frame(p: mapping.VisualParams):
-        scene = audio_app.build_scene(cube_position, light_position,
-                                      p.light_color)
-        lighting = Lighting(
+    def scene_of(p: mapping.VisualParams):
+        return audio_app.build_scene(cube_position, light_position,
+                                     p.light_color)
+
+    def lighting_of(p: mapping.VisualParams):
+        return Lighting(
             light=PointLight(position=light_position, color=p.light_color,
                              intensity=p.light_intensity),
             ambient_intensity=jnp.asarray(0.1, jnp.float32),
             shininess=jnp.asarray(32.0, jnp.float32),
         )
-        fb, _ = render_frame(scene, camera, lighting, config, shadow_config,
-                             p.displacement, cube_position, backend)
-        return fb
 
-    frames = jax.lax.map(frame, params)
+    fused_batch_ok = (
+        backend == "pallas" and config.shading_per_pixel
+        and config.fused_shade and config.tile_h == 8
+        and config.tile_w == 128 and hasattr(camera, "theta"))
+    if fused_batch_ok:
+        # Serving shape: the whole sequence in two kernel launches
+        # (batched shadow pass + frame-folded fused raster/shade) with
+        # per-frame audio-driven scene/lighting.
+        from ..passes.pipeline import render_frame_batch_fused
+        template = jax.tree.map(lambda x: x[0], params)
+        nf = params.displacement.shape[0]
+        frames, _ = render_frame_batch_fused(
+            scene_of(template), camera, lighting_of(template),
+            config, shadow_config, params.displacement,
+            jnp.full((nf,), camera.theta, jnp.float32),
+            shadow_target=cube_position,
+            scene_fn=scene_of, lighting_fn=lighting_of,
+            frame_params=params)
+    else:
+        def frame(p: mapping.VisualParams):
+            fb, _ = render_frame(scene_of(p), camera, lighting_of(p),
+                                 config, shadow_config,
+                                 p.displacement, cube_position, backend)
+            return fb
+
+        frames = jax.lax.map(frame, params)
     telemetry = {
         "light_color": params.light_color,
         "light_intensity": params.light_intensity,

@@ -290,7 +290,9 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
                              config: RenderConfig,
                              shadow_config: ShadowConfig,
                              displacements, thetas,
-                             shadow_target=(0.0, 0.0, -1.0)):
+                             shadow_target=(0.0, 0.0, -1.0),
+                             scene_fn=None, lighting_fn=None,
+                             frame_params=None):
     """A batch of frames through the fused-shade path in TWO kernel
     launches total (batched shadow pass + batched raster/shade), with
     all prep/binning vectorized across frames — the zero-dispatch
@@ -302,6 +304,14 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
 
     ``displacements``, ``thetas``: f32[F] per-frame animation params
     (audio displacement scalar; orbit camera angle).
+
+    Per-frame scene/lighting (the audio-reactive serving shape — light
+    color/intensity and emissive material follow the audio track):
+    pass ``frame_params`` (a pytree with leading axis F) plus
+    ``scene_fn(param) -> Scene`` / ``lighting_fn(param) -> Lighting``;
+    ``scene``/``lighting`` then serve as the static templates
+    (structure, material kinds, LIGHT POSITION — the light anchor must
+    be frame-constant; color/intensity may vary).
     Returns (rgba f32[F, H, W, 4], stats with per-frame leaves).
     """
     from ..raster import raster_pallas
@@ -330,9 +340,11 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
     else:
         m = jnp.zeros((4, 4), jnp.float32)
 
-    def prep_frame(disp, theta):
+    def prep_frame(disp, theta, param):
+        sc = scene_fn(param) if scene_fn is not None else scene
+        lt = lighting_fn(param) if lighting_fn is not None else lighting
         cam = camera.replace(theta=theta)
-        geom = bake(scene, disp)
+        geom = bake(sc, disp)
         out = {}
         if wants_shadow:
             clip_l = project(geom.world, light_view, light_proj)
@@ -345,11 +357,13 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
         setup, pg = prepare_main_pass(
             geom, cam.view_matrix(), cam.projection_matrix(), config)
         out["setup"], out["pg"] = setup, pg
-        out["funi"] = _fused_uniforms(m, cam, light_anchor, light,
-                                      lighting, config)
+        out["funi"] = _fused_uniforms(m, cam, light_anchor, lt.light,
+                                      lt, config)
         return out
 
-    batch = jax.vmap(prep_frame)(displacements, thetas)
+    if frame_params is None:
+        frame_params = jnp.zeros_like(displacements)
+    batch = jax.vmap(prep_frame)(displacements, thetas, frame_params)
     stats = {}
 
     shadow_maps = None

@@ -35,3 +35,38 @@ def test_fused_batch_matches_per_frame():
                              backend="pallas")
         np.testing.assert_array_equal(np.asarray(rgba_b[i]),
                                       np.asarray(fb))
+
+
+def test_audio_sequence_batched_matches_per_frame():
+    """The audio-reactive serving path (per-frame light color/intensity,
+    batched kernels) == the per-frame fused path, bit for bit."""
+    import jax
+    from metalrenderer_tpu.engine.renderer import (
+        audio_visual_track, render_audio_reactive_sequence)
+    from metalrenderer_tpu.scene.lights import PointLight
+
+    sr = 48000
+    t = np.arange(2048) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+    cfg = RenderConfig(width=128, height=64, msaa=1, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    frames, telem = render_audio_reactive_sequence(
+        jnp.asarray(sig), sr, camera=cam, config=cfg, backend="pallas")
+    assert frames.shape[0] == 2
+
+    _, _, params, _ = audio_visual_track(jnp.asarray(sig), sr)
+    cube = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    lpos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    for i in range(2):
+        p = jax.tree.map(lambda x: x[i], params)
+        scene = audio_app.build_scene(cube, lpos, p.light_color)
+        lighting = Lighting(
+            light=PointLight(position=lpos, color=p.light_color,
+                             intensity=p.light_intensity),
+            ambient_intensity=jnp.asarray(0.1, jnp.float32),
+            shininess=jnp.asarray(32.0, jnp.float32))
+        fb, _ = render_frame(scene, cam, lighting, cfg, ShadowConfig(),
+                             p.displacement, cube, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(frames[i]),
+                                      np.asarray(fb))

@@ -126,19 +126,20 @@ def render_audio_reactive_sequence(
             shininess=jnp.asarray(32.0, jnp.float32),
         )
 
+    from ..passes.pipeline import fused_batch_eligible
+    template0 = jax.tree.map(lambda x: x[0], params)
     fused_batch_ok = (
-        backend == "pallas" and config.shading_per_pixel
-        and config.fused_shade and config.tile_h == 8
-        and config.tile_w == 128 and hasattr(camera, "theta"))
+        backend == "pallas"
+        and fused_batch_eligible(scene_of(template0),
+                                 lighting_of(template0), config, camera))
     if fused_batch_ok:
         # Serving shape: the whole sequence in two kernel launches
         # (batched shadow pass + frame-folded fused raster/shade) with
         # per-frame audio-driven scene/lighting.
         from ..passes.pipeline import render_frame_batch_fused
-        template = jax.tree.map(lambda x: x[0], params)
         nf = params.displacement.shape[0]
         frames, _ = render_frame_batch_fused(
-            scene_of(template), camera, lighting_of(template),
+            scene_of(template0), camera, lighting_of(template0),
             config, shadow_config, params.displacement,
             jnp.full((nf,), camera.theta, jnp.float32),
             shadow_target=cube_position,

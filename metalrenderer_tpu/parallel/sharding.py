@@ -82,7 +82,21 @@ def render_frame_batch(scene, camera, lighting, displacements, thetas,
     displacements = jnp.asarray(displacements, jnp.float32)
     thetas = jnp.asarray(thetas, jnp.float32)
 
+    from ..passes.pipeline import (fused_batch_eligible,
+                                   render_frame_batch_fused)
+    use_fused_batch = (backend == "pallas" and
+                       fused_batch_eligible(scene, lighting, config, camera))
+
     def local(scene, camera, lighting, disp_shard, theta_shard):
+        if use_fused_batch:
+            # Each device renders its local frames in TWO kernel
+            # launches (batched shadow pass + frame-folded fused
+            # raster/shade) instead of a lax.map of per-frame programs.
+            fb, _ = render_frame_batch_fused(
+                scene, camera, lighting, config, shadow_config,
+                disp_shard, theta_shard, shadow_target=shadow_target)
+            return fb
+
         def one(args):
             disp, theta = args
             cam = camera.replace(theta=theta)

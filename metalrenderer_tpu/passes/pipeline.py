@@ -286,6 +286,20 @@ def render(scene, camera, lighting, config=RenderConfig(),
                         displacement, shadow_target, backend)
 
 
+def fused_batch_eligible(scene: Scene, lighting, config: RenderConfig,
+                         camera=None) -> bool:
+    """Static check: can this (scene, lighting, config) take the
+    frame-batched fused path? (Mirrors render_frame's fused_ok plus the
+    batch API's orbit-camera requirement when ``camera`` is given.)"""
+    ok = (not isinstance(lighting.light, lights_mod.DirectionalLight)
+          and len(scene.textures) == 0
+          and config.shading_per_pixel and config.fused_shade
+          and config.tile_h == 8 and config.tile_w == 128)
+    if camera is not None:
+        ok = ok and hasattr(camera, "theta")
+    return ok
+
+
 def render_frame_batch_fused(scene: Scene, camera, lighting,
                              config: RenderConfig,
                              shadow_config: ShadowConfig,

@@ -65,7 +65,10 @@ def psnr_config(idx):
 
 
 def bench_config(idx, scene, camera, lighting, config):
+    from metalrenderer_tpu.passes.pipeline import (fused_batch_eligible,
+                                                   render_frame_batch_fused)
     frames = FRAMES[idx]
+    use_batch = fused_batch_eligible(scene, lighting, config, camera)
 
     # Scene as a jit ARGUMENT (not a closure): captured device arrays
     # become HLO constants, which blow up remote compiles at 1M tris.
@@ -75,6 +78,13 @@ def bench_config(idx, scene, camera, lighting, config):
     # "benchmark" measures nothing.
     @jax.jit
     def run_batch(scene, camera, lighting, disps, dths):
+        if use_batch:
+            # Serving shape: whole batch in two kernel launches.
+            rgba, _ = render_frame_batch_fused(
+                scene, camera, lighting, config, ShadowConfig(),
+                disps, camera.theta + dths)
+            return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))
+
         def one_frame(carry, p):
             disp, dth = p
             cam = camera.replace(theta=camera.theta + dth)

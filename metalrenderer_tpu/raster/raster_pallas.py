@@ -636,8 +636,28 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                 return gout[i * TILE8_H:(i + 1) * TILE8_H,
                             pl.ds(lane_px, tile_w)]
 
-            invw = grow(ROW_INVW)
             cnt = grow(ROW_DEPTH)
+
+            # All-sky subtile (no covered sample anywhere): the full
+            # fragment stage would compute planes*0 + clear*1 == clear
+            # exactly — skip it and write the clear color directly
+            # (~18% of the flagship frame is sky).
+            @pl.when(jnp.max(cnt) <= 0.0)
+            def _():
+                for c in range(4):
+                    fb_out[c * TILE8_H:(c + 1) * TILE8_H,
+                           pl.ds(lane_px, tile_w)] = \
+                        jnp.full((TILE8_H, tile_w), clear[c], jnp.float32)
+                fb_out[4 * TILE8_H:5 * TILE8_H, pl.ds(lane_px, tile_w)] = \
+                    jnp.zeros((TILE8_H, tile_w), jnp.float32)
+
+            @pl.when(jnp.max(cnt) > 0.0)
+            def _():
+                shade_sub_covered(sub, lane_px, grow, cnt)
+            return 0
+
+        def shade_sub_covered(sub, lane_px, grow, cnt):
+            invw = grow(ROW_INVW)
             inv = 1.0 / jnp.where(invw > 0.0, invw, 1.0)
             wx = grow(ROW_WORLD) * inv
             wy = grow(ROW_WORLD + 1) * inv

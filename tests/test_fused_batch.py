@@ -20,15 +20,17 @@ def test_fused_batch_matches_per_frame():
     cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
     scene = audio_app.build_scene()
     lighting = Lighting.default()
-    disps = jnp.asarray([0.0, 0.35], jnp.float32)
-    thetas = jnp.asarray([2.5, 2.8], jnp.float32)
+    # Frame 3's displacement blows the cube up past the camera: heavy
+    # near-clipping, radically different bins/band ranges per frame.
+    disps = jnp.asarray([0.0, 0.35, 5.0], jnp.float32)
+    thetas = jnp.asarray([2.5, 2.8, 2.2], jnp.float32)
 
     rgba_b, stats = render_frame_batch_fused(
         scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
-    assert rgba_b.shape == (2, 64, 128, 4)
-    assert stats["big_dropped"].shape == (2,)
+    assert rgba_b.shape == (3, 64, 128, 4)
+    assert stats["big_dropped"].shape == (3,)
 
-    for i in range(2):
+    for i in range(3):
         fb, _ = render_frame(scene, cam.replace(theta=float(thetas[i])),
                              lighting, cfg, ShadowConfig(),
                              float(disps[i]), (0.0, 0.0, -1.0),

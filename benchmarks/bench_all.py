@@ -66,9 +66,13 @@ def psnr_config(idx):
 
 def bench_config(idx, scene, camera, lighting, config):
     from metalrenderer_tpu.passes.pipeline import (fused_batch_eligible,
-                                                   render_frame_batch_fused)
+                                                   px_batch_eligible,
+                                                   render_frame_batch_fused,
+                                                   render_frame_batch_px)
     frames = FRAMES[idx]
     use_batch = fused_batch_eligible(scene, lighting, config, camera)
+    use_px_batch = (not use_batch
+                    and px_batch_eligible(scene, lighting, config, camera))
 
     # Scene as a jit ARGUMENT (not a closure): captured device arrays
     # become HLO constants, which blow up remote compiles at 1M tris.
@@ -81,6 +85,11 @@ def bench_config(idx, scene, camera, lighting, config):
         if use_batch:
             # Serving shape: whole batch in two kernel launches.
             rgba, _ = render_frame_batch_fused(
+                scene, camera, lighting, config, ShadowConfig(),
+                disps, camera.theta + dths)
+            return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))
+        if use_px_batch:
+            rgba, _ = render_frame_batch_px(
                 scene, camera, lighting, config, ShadowConfig(),
                 disps, camera.theta + dths)
             return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))

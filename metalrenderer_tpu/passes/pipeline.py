@@ -396,3 +396,89 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
     stats["big_dropped"] = rstats["big_dropped"]        # [F]
     stats["covered_fraction"] = jnp.mean(covf, axis=(1, 2))
     return rgba, stats
+
+
+def px_batch_eligible(scene: Scene, lighting, config: RenderConfig,
+                      camera=None) -> bool:
+    """Static check for the TEXTURED frame-batched path: per-pixel
+    attr_px raster + batch-transparent XLA shading. Excludes shadowed
+    scenes (the windowed shadow sampler is per-frame) — those take
+    the fused path when untextured, or the per-frame path."""
+    ok = (not _wants_shadow(scene)
+          and config.shading_per_pixel
+          and config.tile_h == 8 and config.tile_w == 128)
+    if camera is not None:
+        ok = ok and hasattr(camera, "theta")
+    return ok
+
+
+def render_frame_batch_px(scene: Scene, camera, lighting,
+                          config: RenderConfig,
+                          shadow_config: ShadowConfig,
+                          displacements, thetas,
+                          shadow_target=(0.0, 0.0, -1.0)):
+    """A batch of TEXTURED (or otherwise non-fused-eligible, shadowless)
+    frames in one raster launch + batch-wide XLA shading.
+
+    The attr_px kernel folds frames into its band grid; the shading
+    stage is batch-transparent: channel planes carry [F, H, W], the mip
+    pyramid sampler natively accepts batched uv grids (one launch per
+    texture for ALL frames), and per-frame camera/light uniforms ride
+    as [3, F, 1, 1] broadcasts. Returns (rgba f32[F, H, W, 4], stats).
+    """
+    from ..raster import raster_pallas
+
+    if not px_batch_eligible(scene, lighting, config):
+        raise ValueError("scene/config not eligible for the px batch path")
+
+    displacements = jnp.asarray(displacements, jnp.float32)
+    thetas = jnp.asarray(thetas, jnp.float32)
+    light = lighting.light
+    is_directional = isinstance(light, lights_mod.DirectionalLight)
+    light_anchor = lights_mod.light_anchor_position(
+        light, shadow_target, shadow_config)
+
+    def prep_frame(disp, theta):
+        cam = camera.replace(theta=theta)
+        geom = bake(scene, disp)
+        setup, pg = prepare_main_pass(
+            geom, cam.view_matrix(), cam.projection_matrix(), config)
+        return setup, pg, jnp.asarray(cam.position, jnp.float32)
+
+    setup_b, pg_b, campos_b = jax.vmap(prep_frame)(displacements, thetas)
+
+    gout_b, rstats = raster_pallas.rasterize_tiles_batch(
+        setup_b, pg_b, config.width, config.height,
+        tuple(config.sample_positions),
+        span_cap=config.span_cap, big_capacity=config.big_capacity,
+        clear_depth=config.clear_depth)
+
+    # channels_from_gout_px indexes attribute rows on axis 0: feed it
+    # [GOUT_ROWS, F, H, W] and every channel comes out [F, H, W].
+    channels = raster_pallas.channels_from_gout_px(
+        gout_b.transpose(1, 0, 2, 3), len(config.sample_positions))
+
+    # Per-frame camera positions broadcast as [3, F, 1, 1] (shade indexes
+    # component 0/1/2 on axis 0 and broadcasts against [F, H, W] planes).
+    campos = campos_b.T[:, :, None, None]
+    r, g, b, a = shade_channels(
+        channels,
+        camera_pos=campos,
+        light_pos=light_anchor,
+        light_dir=(jnp.asarray(light.direction, jnp.float32)
+                   if is_directional else None),
+        light_color=light.color,
+        ambient_intensity=lighting.ambient_intensity,
+        shininess=lighting.shininess,
+        clear_color=config.clear_color,
+        shadow_ctx=None,
+        textures=scene.textures,
+        tiled_sampler=True,
+        shadow_per_pixel=config.shadow_per_pixel,
+        return_planes=True,
+        per_pixel=True,
+    )
+    stats = {"big_dropped": rstats["big_dropped"]}
+    stats["covered_fraction"] = jnp.mean(
+        channels["cov_frac"], axis=(1, 2))
+    return jnp.stack([r, g, b, a], axis=-1), stats

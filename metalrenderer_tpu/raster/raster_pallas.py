@@ -1181,6 +1181,77 @@ def rasterize_depth_batch(setup_b: TriangleSetup, size, tile_h, tile_w,
     static_argnames=("width", "height", "sample_offsets", "span_cap",
                      "big_capacity", "clear_depth"),
 )
+def rasterize_tiles_batch(setup_b: TriangleSetup, pass_geom_b,
+                          width, height, sample_offsets,
+                          span_cap=8, big_capacity=256, clear_depth=1.0):
+    """attr_px rasterization of a FRAME BATCH in one kernel launch.
+
+    The per-pixel G-buffer for all frames comes out of a single
+    frame-folded grid; the (dead in this path) per-sample depth/winner
+    planes are discarded. Returns (gout f32[F, GOUT_ROWS, H, W], stats
+    with per-frame big_dropped)."""
+    F = setup_b.valid.shape[0]
+    tile_h, tile_w = TILE8_H, 128
+
+    def prep(setup, pg):
+        fields = build_tri_fields(setup)
+        attr_fields = build_attr_fields(setup, pg)
+        return bin_triangles(setup, fields, width, height, tile_w, tile_h,
+                             span_cap=span_cap, big_capacity=big_capacity,
+                             attr_fields=attr_fields)
+    bins = jax.vmap(prep)(setup_b, pass_geom_b)
+    flat = _flatten_bins(bins, F)
+
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    n_samples = len(sample_offsets)
+    p8w = (n_samples * tile_h * tile_w) // TILE8_H
+
+    kernel = _make_kernel(ntx, tile_h, tile_w, tuple(sample_offsets),
+                          clear_depth, with_attrs=True, attr_px=True,
+                          frames=F, nbands=nty, bcap=big_capacity)
+
+    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+               flat["big_n"], flat["big_tri"], flat["big_attr"],
+               flat["big_tri_aabb"]]
+    out_block = lambda r, w: pl.BlockSpec(
+        (None, r, w), lambda b, *refs: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(F * nty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[out_block(TILE8_H, ntx * p8w),
+                   out_block(TILE8_H, ntx * p8w),
+                   out_block(GOUT_ROWS * TILE8_H, ntx * tile_w)],
+        scratch_shapes=[pltpu.VMEM((2, 4, COLS), jnp.float32),
+                        pltpu.VMEM((2, 4, ATTR_COLS), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+    )
+    _, _, gout_b = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((F * nty, TILE8_H, ntx * p8w), jnp.float32),
+            jax.ShapeDtypeStruct((F * nty, TILE8_H, ntx * p8w), jnp.int32),
+            jax.ShapeDtypeStruct((F * nty, GOUT_ROWS * TILE8_H,
+                                  ntx * tile_w), jnp.float32),
+        ],
+        interpret=_should_interpret(),
+    )(*scalars, flat["chunks"], flat["attr_chunks"])
+
+    g = gout_b.reshape(F, nty, GOUT_ROWS, tile_h, ntx * tile_w)
+    g = g.transpose(0, 2, 1, 3, 4).reshape(
+        F, GOUT_ROWS, nty * tile_h, ntx * tile_w)[:, :, :height, :width]
+    stats = {"big_dropped": bins.num_big_dropped}       # [F]
+    return g, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sample_offsets", "span_cap",
+                     "big_capacity", "clear_depth"),
+)
 def render_fused_batch(setup_b: TriangleSetup, pass_geom_b, funi_b,
                        width, height, sample_offsets, shadow_map_b=None,
                        span_cap=8, big_capacity=256, clear_depth=1.0):

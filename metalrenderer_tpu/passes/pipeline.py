@@ -401,11 +401,9 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
 def px_batch_eligible(scene: Scene, lighting, config: RenderConfig,
                       camera=None) -> bool:
     """Static check for the TEXTURED frame-batched path: per-pixel
-    attr_px raster + batch-transparent XLA shading. Excludes shadowed
-    scenes (the windowed shadow sampler is per-frame) — those take
-    the fused path when untextured, or the per-frame path."""
-    ok = (not _wants_shadow(scene)
-          and config.shading_per_pixel
+    attr_px raster + batch-transparent XLA shading (the mip sampler and
+    the windowed shadow sampler both take frame batches natively)."""
+    ok = (config.shading_per_pixel
           and config.tile_h == 8 and config.tile_w == 128)
     if camera is not None:
         ok = ok and hasattr(camera, "theta")
@@ -437,15 +435,42 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
     is_directional = isinstance(light, lights_mod.DirectionalLight)
     light_anchor = lights_mod.light_anchor_position(
         light, shadow_target, shadow_config)
+    wants_shadow = _wants_shadow(scene)
+    if wants_shadow:
+        light_view = lights_mod.light_view_matrix(
+            light_anchor, jnp.asarray(shadow_target, jnp.float32))
+        light_proj = lights_mod.light_projection_matrix(shadow_config)
 
     def prep_frame(disp, theta):
         cam = camera.replace(theta=theta)
         geom = bake(scene, disp)
+        out = {}
+        if wants_shadow:
+            clip_l = project(geom.world, light_view, light_proj)
+            clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
+            setup_l = setup_triangles(
+                clip_l2, config.shadow_map_size, config.shadow_map_size,
+                cull_backfaces=False, near_eps=config.near_eps)
+            out["setup_l"] = setup_l.replace(
+                valid=setup_l.valid & geom.cast_shadow[parent_l])
         setup, pg = prepare_main_pass(
             geom, cam.view_matrix(), cam.projection_matrix(), config)
-        return setup, pg, jnp.asarray(cam.position, jnp.float32)
+        out["setup"], out["pg"] = setup, pg
+        out["campos"] = jnp.asarray(cam.position, jnp.float32)
+        return out
 
-    setup_b, pg_b, campos_b = jax.vmap(prep_frame)(displacements, thetas)
+    batch = jax.vmap(prep_frame)(displacements, thetas)
+    setup_b, pg_b, campos_b = batch["setup"], batch["pg"], batch["campos"]
+
+    shadow_ctx = None
+    if wants_shadow:
+        depth_maps = raster_pallas.rasterize_depth_batch(
+            batch["setup_l"], config.shadow_map_size,
+            config.shadow_tile_h, config.shadow_tile_w,
+            big_capacity=config.big_capacity, clear_depth=1.0)
+        shadow_ctx = ShadowContext(depth_map=depth_maps,
+                                   light_view=light_view,
+                                   light_proj=light_proj)
 
     gout_b, rstats = raster_pallas.rasterize_tiles_batch(
         setup_b, pg_b, config.width, config.height,
@@ -471,8 +496,10 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
         ambient_intensity=lighting.ambient_intensity,
         shininess=lighting.shininess,
         clear_color=config.clear_color,
-        shadow_ctx=None,
+        shadow_ctx=shadow_ctx,
         textures=scene.textures,
+        shadow_bias=config.shadow_bias,
+        shadow_factor_value=config.shadow_factor,
         tiled_sampler=True,
         shadow_per_pixel=config.shadow_per_pixel,
         return_planes=True,

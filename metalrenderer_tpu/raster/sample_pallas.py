@@ -283,6 +283,145 @@ def _sample_padded(tex, x, y, maskf, tex_h, tex_w, win_h, win_w, has_mask):
     return out, oob
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("tex_h", "tex_w", "win_h", "win_w"))
+def _sample_padded_frames(tex_b, x, y, maskf, tex_h, tex_w, win_h, win_w):
+    """Frame-batched variant of _sample_padded: per-frame textures
+    [F, tex_h, tex_w] and grids [F, hp, wp]. Frames stack VERTICALLY
+    (texture rows and framebuffer rows both), y/window origins carry the
+    frame's row offset, and per-frame origin CLIPS keep every window
+    inside its own frame's map — the kernel is reused unchanged."""
+    F, hp, wp = x.shape
+    nty, ntx = hp // TILE_H, wp // TILE_W
+    nt = nty * ntx
+
+    xt = x.reshape(F, nty, TILE_H, ntx, TILE_W)
+    yt = y.reshape(F, nty, TILE_H, ntx, TILE_W)
+    mt = maskf.reshape(F, nty, TILE_H, ntx, TILE_W) > 0.0
+    inf = jnp.float32(jnp.inf)
+    xmin = jnp.min(jnp.where(mt, xt, inf), axis=(2, 4))      # [F,nty,ntx]
+    ymin = jnp.min(jnp.where(mt, yt, inf), axis=(2, 4))
+    xmin = jnp.where(jnp.isfinite(xmin), xmin, 0.0)
+    ymin = jnp.where(jnp.isfinite(ymin), ymin, 0.0)
+    tile_any = jnp.any(mt, axis=(2, 4)).astype(jnp.int32)
+
+    wx = jnp.clip((jnp.floor(xmin).astype(jnp.int32) // 128) * 128,
+                  0, ((tex_w - win_w) // 128) * 128)
+    wy_local = jnp.clip((jnp.floor(ymin).astype(jnp.int32) // 8) * 8,
+                        0, ((tex_h - win_h) // 8) * 8)
+
+    hb, wb = tex_h // 8, tex_w // 128
+    blocks = tex_b.reshape(F, hb, 8, wb, 128)
+    bmin = jnp.min(blocks, axis=(2, 4))
+    bmax = jnp.max(blocks, axis=(2, 4))
+    kh, kw = win_h // 8, win_w // 128
+    smin = jax.lax.reduce_window(bmin, jnp.inf, jax.lax.min,
+                                 (1, kh, kw), (1, 1, 1), "VALID")
+    smax = jax.lax.reduce_window(bmax, -jnp.inf, jax.lax.max,
+                                 (1, kh, kw), (1, 1, 1), "VALID")
+    oidx = ((wy_local // 8) * smin.shape[2] + (wx // 128)).reshape(F, -1)
+    uval = jnp.take_along_axis(smin.reshape(F, -1), oidx, axis=1)
+    umax = jnp.take_along_axis(smax.reshape(F, -1), oidx, axis=1)
+    uni = (uval == umax).astype(jnp.int32)
+
+    # Stack frames vertically; y and the window origins move together so
+    # the kernel's window-local math is unchanged (tex_h % 8 == 0 keeps
+    # the multiple_of-8 DMA claim true).
+    off = (jnp.arange(F, dtype=jnp.int32) * tex_h)
+    wy = wy_local + off[:, None, None]
+    y_st = y + off[:, None, None].astype(jnp.float32)
+    tex_st = tex_b.reshape(F * tex_h, tex_w)
+    x_st = x.reshape(F * hp, wp)
+    y_st = y_st.reshape(F * hp, wp)
+
+    scalars = [wy.reshape(-1), wx.reshape(-1), uni.reshape(-1),
+               uval.reshape(-1), tile_any.reshape(-1)]
+    fnty = F * nty
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(F * nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, *_: (i // ntx, i % ntx)),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, *_: (i // ntx, i % ntx)),
+        ],
+        out_specs=pl.BlockSpec((TILE_H, TILE_W),
+                               lambda i, *_: (i // ntx, i % ntx)),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(win_h, win_w, True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F * hp, wp), jnp.float32),
+        interpret=_should_interpret(),
+    )(*scalars, tex_st, x_st, y_st)
+
+    wxg = jnp.broadcast_to(wx.reshape(F, nty, 1, ntx, 1),
+                           (F, nty, TILE_H, ntx, TILE_W)).reshape(F, hp, wp)
+    wyg = jnp.broadcast_to(wy_local.reshape(F, nty, 1, ntx, 1),
+                           (F, nty, TILE_H, ntx, TILE_W)).reshape(F, hp, wp)
+    oob = ((x - wxg) < 0.0) | ((x - wxg) > win_w - 2.0) | \
+          ((y - wyg) < 0.0) | ((y - wyg) > win_h - 2.0)
+    oob = oob | (maskf <= 0.0)
+    return out.reshape(F, hp, wp), oob
+
+
+def sample_bilinear_tiled_batch(tex_b, u, v, address_mode="repeat",
+                                oob_value=None, mask=None):
+    """Frame-batched sample_bilinear_tiled: per-frame textures
+    f32[F, TH, TW] sampled at f32[F, H, W] uv grids in ONE launch (the
+    batched shadow-map test). Semantics match sample_bilinear_tiled per
+    frame exactly."""
+    F, th, tw = tex_b.shape
+    rep_y = _cdiv(WIN_H + 8, th) if th < WIN_H + 8 else 1
+    rep_x = _cdiv(WIN_W + 128, tw) if tw < WIN_W + 128 else 1
+    if rep_y > 1 or rep_x > 1:
+        if address_mode == "repeat":
+            tex_b = jnp.tile(tex_b, (1, rep_y, rep_x))
+        else:
+            tex_b = jnp.pad(
+                tex_b, ((0, 0), (0, th * (rep_y - 1)),
+                        (0, tw * (rep_x - 1))), mode="edge")
+    th_p, tw_p = tex_b.shape[1:]
+    assert th_p % 8 == 0, "frame-stacked maps need 8-row alignment"
+
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    if address_mode == "repeat":
+        x = jnp.mod(x, tw)
+        y = jnp.mod(y, th)
+    else:
+        x = jnp.clip(x, 0.0, tw - 1.001)
+        y = jnp.clip(y, 0.0, th - 1.001)
+
+    _, h, w = x.shape
+    win_h, win_w = window_shape(th_p, tw_p, h, w)
+    hp = _cdiv(h, TILE_H) * TILE_H
+    wp = _cdiv(w, TILE_W) * TILE_W
+    if mask is None:
+        mask = jnp.ones(x.shape, bool)
+    maskf = jnp.broadcast_to(mask, x.shape).astype(jnp.float32)
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        x = jnp.pad(x, pad, mode="edge")
+        y = jnp.pad(y, pad, mode="edge")
+        maskf = jnp.pad(maskf, pad)
+
+    out, oob = _sample_padded_frames(tex_b, x, y, maskf,
+                                     tex_h=th_p, tex_w=tw_p,
+                                     win_h=win_h, win_w=win_w)
+    out = out[:, :h, :w]
+    oob = oob[:, :h, :w]
+    if oob_value is not None:
+        out = jnp.where(oob, jnp.float32(oob_value), out)
+    return out
+
+
 def sample_bilinear_tiled(tex, u, v, address_mode="repeat",
                           oob_value=None, mask=None):
     """Bilinear sample of a single-channel texture at [H, W] uv grids.

@@ -27,6 +27,7 @@ entry and packed to RGBA once at exit.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..scene.materials import BLINN_PHONG_SHADOW, EMISSIVE
@@ -42,9 +43,23 @@ def _sample2d(tex_hw, u, v, address_mode, tiled, oob_value=None, mask=None):
     that consume the result (tiled path skips maskless tiles; masked-out
     pixels read ``oob_value``)."""
     if not tiled:
+        if tex_hw.ndim == 3:
+            # Per-frame textures [F, TH, TW] at [F, H, W] grids: vmap the
+            # XLA gather sampler across frames.
+            return jax.vmap(
+                lambda t, uu, vv: sampling.sample_bilinear(
+                    t[..., None], uu, vv, address_mode)[..., 0]
+            )(tex_hw, u, v)
         return sampling.sample_bilinear(tex_hw[..., None], u, v,
                                         address_mode)[..., 0]
-    from .sample_pallas import sample_bilinear_tiled
+    from .sample_pallas import (sample_bilinear_tiled,
+                                sample_bilinear_tiled_batch)
+    if tex_hw.ndim == 3:
+        # Per-frame textures (the batched shadow maps): one launch for
+        # the whole frame batch.
+        assert u.ndim == 3 and u.shape[0] == tex_hw.shape[0]
+        return sample_bilinear_tiled_batch(tex_hw, u, v, address_mode,
+                                           oob_value, mask=mask)
     if u.ndim == 2:
         return sample_bilinear_tiled(tex_hw, u, v, address_mode, oob_value,
                                      mask=mask)
@@ -411,7 +426,11 @@ def shade_channels(ch, camera_pos, light_pos, light_color,
 
     if shadow_ctx is not None:
         receives = ch["kind"] == BLINN_PHONG_SHADOW
-        if shadow_per_pixel and covered.ndim == 3:
+        # A leading axis means SAMPLES only when the channels weren't
+        # already per-pixel-selected in-kernel (attr_px sets cov_frac);
+        # the batched-frames path carries [F, H, W] per-pixel planes.
+        if (shadow_per_pixel and covered.ndim == 3
+                and ch.get("cov_frac") is None):
             # One shadow evaluation per pixel at the first covered
             # sample's world position (Metal shades fragments per pixel,
             # not per sample).

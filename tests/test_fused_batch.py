@@ -100,3 +100,31 @@ def test_px_batch_matches_per_frame_textured():
                              0.0, (0.0, 0.0, -1.0), backend="pallas")
         np.testing.assert_array_equal(np.asarray(rgba_b[i]),
                                       np.asarray(fb))
+
+
+def test_px_batch_matches_per_frame_shadow_normal_map():
+    """Config-4 class scene (shadow receiver + normal map) through the
+    batched path: frame-folded raster, batched shadow depth pass,
+    frame-batched window shadow sampler — still bit-identical."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "benchmarks"))
+    import configs as bench_configs
+    from metalrenderer_tpu.passes.pipeline import render_frame_batch_px
+
+    scene, cam, lighting, cfg = bench_configs.config4_shadow_normal_map()
+    cfg = cfg.replace(width=128, height=64, msaa=4, shadow_map_size=64)
+    cam = cam.replace(aspect=2.0)
+
+    disps = jnp.asarray([0.0, 0.0], jnp.float32)
+    thetas = jnp.asarray([float(cam.theta), float(cam.theta) + 0.3],
+                         jnp.float32)
+    rgba_b, _ = render_frame_batch_px(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
+
+    for i in range(2):
+        fb, _ = render_frame(scene, cam.replace(theta=float(thetas[i])),
+                             lighting, cfg, ShadowConfig(),
+                             0.0, (0.0, 0.0, -1.0), backend="pallas")
+        np.testing.assert_array_equal(np.asarray(rgba_b[i]),
+                                      np.asarray(fb))

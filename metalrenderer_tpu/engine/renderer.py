@@ -77,11 +77,34 @@ def render_camera_path(scene, lighting, key_poses, frames_per_segment=8,
     seg = jnp.minimum(idx // fps, n_seg - 1)
     t = (idx - seg * fps).astype(jnp.float32) / fps
 
-    def frame(inp):
-        s, tt = inp
+    def frame_cam(s, tt):
         a = jax.tree.map(lambda x: x[s], stacked)
         b = jax.tree.map(lambda x: x[s + 1], stacked)
-        cam = a.slerp(b, tt)
+        return a.slerp(b, tt)
+
+    from ..passes.pipeline import (fused_batch_eligible, px_batch_eligible,
+                                   render_frame_batch_fused,
+                                   render_frame_batch_px)
+    if backend == "pallas" and (fused_batch_eligible(scene, lighting, config)
+                                or px_batch_eligible(scene, lighting,
+                                                     config)):
+        # Batched serving shape: slerp all poses (vmapped), render the
+        # whole flythrough in a fixed number of kernel launches.
+        cams = jax.vmap(frame_cam)(seg, t)
+        nf = seg.shape[0]
+        disps = jnp.full((nf,), displacement, jnp.float32)
+        zeros = jnp.zeros((nf,), jnp.float32)
+        batch_fn = (render_frame_batch_fused
+                    if fused_batch_eligible(scene, lighting, config)
+                    else render_frame_batch_px)
+        fb, _ = batch_fn(scene, poses[0], lighting, config, shadow_config,
+                         disps, zeros, shadow_target=shadow_target,
+                         cameras=cams)
+        return fb
+
+    def frame(inp):
+        s, tt = inp
+        cam = frame_cam(*inp)
         fb, _ = render_frame(scene, cam, lighting, config, shadow_config,
                              displacement, shadow_target, backend)
         return fb

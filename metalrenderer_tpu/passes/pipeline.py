@@ -306,7 +306,7 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
                              displacements, thetas,
                              shadow_target=(0.0, 0.0, -1.0),
                              scene_fn=None, lighting_fn=None,
-                             frame_params=None):
+                             frame_params=None, cameras=None):
     """A batch of frames through the fused-shade path in TWO kernel
     launches total (batched shadow pass + batched raster/shade), with
     all prep/binning vectorized across frames — the zero-dispatch
@@ -354,10 +354,10 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
     else:
         m = jnp.zeros((4, 4), jnp.float32)
 
-    def prep_frame(disp, theta, param):
+    def prep_frame(disp, theta, param, cam_in):
         sc = scene_fn(param) if scene_fn is not None else scene
         lt = lighting_fn(param) if lighting_fn is not None else lighting
-        cam = camera.replace(theta=theta)
+        cam = cam_in if cameras is not None else camera.replace(theta=theta)
         geom = bake(sc, disp)
         out = {}
         if wants_shadow:
@@ -377,7 +377,11 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
 
     if frame_params is None:
         frame_params = jnp.zeros_like(displacements)
-    batch = jax.vmap(prep_frame)(displacements, thetas, frame_params)
+    batch = jax.vmap(
+        prep_frame,
+        in_axes=(0, 0, 0, 0 if cameras is not None else None),
+    )(displacements, thetas, frame_params,
+      cameras if cameras is not None else camera)
     stats = {}
 
     shadow_maps = None
@@ -414,7 +418,7 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
                           config: RenderConfig,
                           shadow_config: ShadowConfig,
                           displacements, thetas,
-                          shadow_target=(0.0, 0.0, -1.0)):
+                          shadow_target=(0.0, 0.0, -1.0), cameras=None):
     """A batch of TEXTURED (or otherwise non-fused-eligible, shadowless)
     frames in one raster launch + batch-wide XLA shading.
 
@@ -441,8 +445,8 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
             light_anchor, jnp.asarray(shadow_target, jnp.float32))
         light_proj = lights_mod.light_projection_matrix(shadow_config)
 
-    def prep_frame(disp, theta):
-        cam = camera.replace(theta=theta)
+    def prep_frame(disp, theta, cam_in):
+        cam = cam_in if cameras is not None else camera.replace(theta=theta)
         geom = bake(scene, disp)
         out = {}
         if wants_shadow:
@@ -459,7 +463,11 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
         out["campos"] = jnp.asarray(cam.position, jnp.float32)
         return out
 
-    batch = jax.vmap(prep_frame)(displacements, thetas)
+    batch = jax.vmap(
+        prep_frame,
+        in_axes=(0, 0, 0 if cameras is not None else None),
+    )(displacements, thetas,
+      cameras if cameras is not None else camera)
     setup_b, pg_b, campos_b = batch["setup"], batch["pg"], batch["campos"]
 
     shadow_ctx = None

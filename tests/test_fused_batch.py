@@ -128,3 +128,26 @@ def test_px_batch_matches_per_frame_shadow_normal_map():
                              0.0, (0.0, 0.0, -1.0), backend="pallas")
         np.testing.assert_array_equal(np.asarray(rgba_b[i]),
                                       np.asarray(fb))
+
+
+def test_camera_path_batched_matches_per_frame():
+    """Quaternion-slerp flythrough through the batched fused path ==
+    per-frame rendering at the same poses."""
+    from metalrenderer_tpu.engine.renderer import render_camera_path
+
+    cfg = RenderConfig(width=128, height=64, msaa=1, shadow_map_size=64)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    a = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    b = OrbitCamera(radius=4.0, theta=3.0, phi=1.35, aspect=2.0)
+    frames = render_camera_path(scene, lighting, [a, b],
+                                frames_per_segment=2, config=cfg,
+                                backend="pallas")
+    assert frames.shape == (3, 64, 128, 4)
+    pa, pb = a.pose(), b.pose()
+    for i, tt in enumerate([0.0, 0.5, 1.0]):
+        cam = pa.slerp(pb, jnp.float32(tt))
+        fb, _ = render_frame(scene, cam, lighting, cfg, ShadowConfig(),
+                             0.0, (0.0, 0.0, 0.0), backend="pallas")
+        np.testing.assert_array_equal(np.asarray(frames[i]),
+                                      np.asarray(fb))

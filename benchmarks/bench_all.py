@@ -64,14 +64,15 @@ def psnr_config(idx):
     return round(float(psnr), 1), f"{config.width}x{config.height}"
 
 
-def bench_config(idx, scene, camera, lighting, config):
+def bench_config(idx, scene, camera, lighting, config, no_batch=False):
     from metalrenderer_tpu.passes.pipeline import (fused_batch_eligible,
                                                    px_batch_eligible,
                                                    render_frame_batch_fused,
                                                    render_frame_batch_px)
     frames = FRAMES[idx]
-    use_batch = fused_batch_eligible(scene, lighting, config, camera)
-    use_px_batch = (not use_batch
+    use_batch = (not no_batch
+                 and fused_batch_eligible(scene, lighting, config, camera))
+    use_px_batch = (not no_batch and not use_batch
                     and px_batch_eligible(scene, lighting, config, camera))
 
     # Scene as a jit ARGUMENT (not a closure): captured device arrays
@@ -194,6 +195,8 @@ def main():
     ap.add_argument("--size5", default=None,
                     help="override config-5 resolution WxH")
     ap.add_argument("--skip-psnr", action="store_true")
+    ap.add_argument("--no-batch", action="store_true",
+                    help="force the per-frame scan shape")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -221,7 +224,8 @@ def main():
         try:
             scene, camera, lighting, config = (
                 build5() if idx == 5 else BUILDERS[idx]())
-            r = bench_config(idx, scene, camera, lighting, config)
+            r = bench_config(idx, scene, camera, lighting, config,
+                             no_batch=args.no_batch)
         except Exception as e:  # report, keep benching the rest
             r = {"config": idx, "error": str(e)[:500]}
         if not args.skip_psnr:

@@ -16,7 +16,7 @@ from .scene.materials import (BLINN_PHONG, BLINN_PHONG_SHADOW, EMISSIVE,
                               Material)
 from .scene.mesh import Mesh, cube, plane, square, triangle, uv_sphere
 from .scene.scene import Instance, Scene
-from .passes.pipeline import render, render_frame
+from .passes.pipeline import render, render_batch, render_frame
 
 __version__ = "0.1.0"
 
@@ -25,5 +25,5 @@ __all__ = [
     "Lighting", "PointLight",
     "DirectionalLight", "Material", "BLINN_PHONG", "BLINN_PHONG_SHADOW",
     "EMISSIVE", "Mesh", "cube", "plane", "square", "triangle", "uv_sphere",
-    "Instance", "Scene", "render", "render_frame",
+    "Instance", "Scene", "render", "render_batch", "render_frame",
 ]

@@ -517,3 +517,59 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
     stats["covered_fraction"] = jnp.mean(
         channels["cov_frac"], axis=(1, 2))
     return jnp.stack([r, g, b, a], axis=-1), stats
+
+
+def render_batch(scene: Scene, camera, lighting,
+                 displacements, thetas=None,
+                 config: RenderConfig = RenderConfig(),
+                 shadow_config: ShadowConfig = ShadowConfig(),
+                 shadow_target=(0.0, 0.0, -1.0), cameras=None,
+                 backend="pallas"):
+    """Render a batch of frames in the fewest kernel launches available.
+
+    Dispatches to the fused frame-batch (untextured point-light scenes:
+    2 launches total), the attr_px frame-batch (textured / shadowed /
+    directional scenes: raster + samplers each take the whole batch), or
+    a lax.map of per-frame programs (reference backend or non-8x128
+    tiles). All paths are bit-identical per frame.
+
+    ``displacements``: f32[F]; ``thetas``: f32[F] orbit angles (defaults
+    to the camera's); ``cameras``: optional stacked camera pytree
+    overriding thetas. Returns (rgba f32[F, H, W, 4], stats).
+    """
+    displacements = jnp.asarray(displacements, jnp.float32)
+    F = displacements.shape[0]
+    if thetas is None:
+        base = getattr(camera, "theta", 0.0)
+        thetas = jnp.full((F,), base, jnp.float32)
+    if backend == "pallas" and cameras is None and not hasattr(
+            camera, "theta"):
+        cameras = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (F,) + jnp.shape(x)), camera)
+    if backend == "pallas" and fused_batch_eligible(
+            scene, lighting, config,
+            camera if cameras is None else None):
+        return render_frame_batch_fused(
+            scene, camera, lighting, config, shadow_config,
+            displacements, thetas, shadow_target=shadow_target,
+            cameras=cameras)
+    if backend == "pallas" and px_batch_eligible(
+            scene, lighting, config,
+            camera if cameras is None else None):
+        return render_frame_batch_px(
+            scene, camera, lighting, config, shadow_config,
+            displacements, thetas, shadow_target=shadow_target,
+            cameras=cameras)
+
+    def one(args):
+        disp, theta, cam = args
+        if cameras is None:
+            cam = (camera.replace(theta=theta)
+                   if hasattr(camera, "theta") else camera)
+        return render_frame(scene, cam, lighting, config, shadow_config,
+                            disp, shadow_target, backend)
+
+    cams_in = cameras if cameras is not None else jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (F,) + jnp.shape(x)), camera)
+    fbs, stats = jax.lax.map(one, (displacements, thetas, cams_in))
+    return fbs, stats

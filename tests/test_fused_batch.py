@@ -151,3 +151,29 @@ def test_camera_path_batched_matches_per_frame():
                              0.0, (0.0, 0.0, 0.0), backend="pallas")
         np.testing.assert_array_equal(np.asarray(frames[i]),
                                       np.asarray(fb))
+
+
+def test_public_render_batch_api():
+    """mr.render_batch dispatches to a batched path and matches
+    mr.render per frame."""
+    import metalrenderer_tpu as mr
+
+    cfg = RenderConfig(width=128, height=64, msaa=1, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    disps = jnp.asarray([0.0, 0.4], jnp.float32)
+
+    fbs, stats = mr.render_batch(scene, cam, lighting, disps, config=cfg,
+                                 shadow_target=(0.0, 0.0, -1.0))
+    assert fbs.shape == (2, 64, 128, 4)
+    for i in range(2):
+        fb, _ = mr.render(scene, cam, lighting, cfg,
+                          displacement=float(disps[i]),
+                          shadow_target=(0.0, 0.0, -1.0), backend="pallas")
+        # mr.render is a separately-jitted program: XLA fuses its shading
+        # arithmetic differently than the (eagerly traced) batch call in
+        # this test, so equality here is allclose, not bitwise — the
+        # bitwise guarantees are asserted against render_frame above.
+        np.testing.assert_allclose(np.asarray(fbs[i]), np.asarray(fb),
+                                   atol=5e-5)

@@ -46,8 +46,11 @@ def main():
     # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
     # large device arrays embeds them as HLO constants, which this
     # platform's remote compile helper chokes on at scale.
-    if "--scan" in sys.argv:
-        # Legacy shape: one scan step + two kernel launches per frame.
+    # Default = the proven per-frame scan shape; --batch opts into the
+    # frame-folded two-launch serving shape (flip the default once its
+    # real-TPU compile/runtime is recorded).
+    if "--batch" not in sys.argv:
+        # One scan step + two kernel launches per frame.
         @jax.jit
         def run_batch(scene, camera, lighting, disps, thetas):
             def one_frame(carry, disp):
@@ -59,9 +62,9 @@ def main():
             total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
             return total, means
     else:
-        # Serving shape: the WHOLE batch in two kernel launches (batched
-        # shadow pass + frame-folded fused raster/shade grid), prep and
-        # binning vectorized across frames.
+        # Serving shape (--batch): the WHOLE batch in two kernel
+        # launches (batched shadow pass + frame-folded fused
+        # raster/shade grid), prep and binning vectorized across frames.
         @jax.jit
         def run_batch(scene, camera, lighting, disps, thetas):
             rgba, _ = render_frame_batch_fused(

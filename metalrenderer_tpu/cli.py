@@ -44,6 +44,33 @@ def cmd_render(args):
                        shadow_map_size=args.shadow_map_size)
     cam = OrbitCamera(radius=args.radius, theta=args.theta, phi=args.phi,
                       aspect=args.width / args.height)
+    if args.frames > 1:
+        # Orbit turntable sequence through the frame-batched serving
+        # path (mr.render_batch: the whole sequence in a fixed number of
+        # kernel launches).
+        import jax.numpy as jnp
+        from .passes.pipeline import render_batch
+        from .scene.lights import Lighting
+
+        scene = audio_app.build_scene(tuple(args.cube_pos),
+                                      tuple(args.light_pos),
+                                      tuple(args.light_color))
+        nf = args.frames
+        disps = jnp.full((nf,), args.displacement, jnp.float32)
+        thetas = args.theta + jnp.linspace(0.0, args.orbit, nf)
+        fbs, stats = render_batch(
+            scene, cam, Lighting.default(), disps, thetas, config=cfg,
+            shadow_target=tuple(args.cube_pos), backend=args.backend)
+        out = pathlib.Path(args.out)
+        stem, suffix = out.stem, (out.suffix or ".png")
+        fbs = np.asarray(fbs)
+        for i in range(nf):
+            png.write_png(str(out.with_name(f"{stem}_{i:04d}{suffix}")),
+                          fbs[i])
+        print(json.dumps({k: np.asarray(v).tolist()
+                          for k, v in stats.items()}))
+        print(f"wrote {nf} frames to {stem}_*{suffix}", file=sys.stderr)
+        return
     fb, stats = audio_app.render_audio_app(
         cube_position=tuple(args.cube_pos),
         light_position=tuple(args.light_pos),
@@ -151,9 +178,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="metalrenderer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("render", help="render one AudioApp frame to PNG")
+    p = sub.add_parser(
+        "render", help="render AudioApp frame(s) to PNG "
+        "(--frames N: batched orbit turntable sequence)")
     _add_render_args(p)
     p.add_argument("--out", default="frame.png")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--orbit", type=float, default=0.8,
+                   help="total orbit angle across --frames (radians)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("audioapp",

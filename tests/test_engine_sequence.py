@@ -82,3 +82,18 @@ def test_cli_flythrough_smoke(tmp_path):
     img = png.read_png(out_dir / "fly_00000.png")
     assert img.shape == (48, 48, 3)
     assert (out_dir / "fly_00002.png").exists()
+
+
+def test_cli_render_frames_batch(tmp_path):
+    from metalrenderer_tpu import cli
+    out = tmp_path / "turn.png"
+    cli.main(["render", "--width", "64", "--height", "48", "--msaa", "1",
+              "--shadow-map-size", "64", "--backend", "pallas",
+              "--frames", "2", "--out", str(out)])
+    import numpy as np
+    from metalrenderer_tpu.io import png
+    for i in range(2):
+        f = tmp_path / f"turn_{i:04d}.png"
+        assert f.exists()
+        img = png.read_png(str(f))
+        assert img.shape[:2] == (48, 64)

@@ -45,15 +45,55 @@ def test_non_tile_aligned_grid():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_window_clamp_fallback_is_bounded():
-    """A tile whose footprint exceeds the window clamps to the border —
-    values must stay within the texture's value range (no garbage)."""
+def test_out_of_window_footprints_are_exact():
+    """Round-4 segment sweep (VERDICT r3 item 3): tiles whose bilinear
+    footprint exceeds the VMEM window must still be EXACT — the old
+    clamp-and-flag fallback is gone."""
     rng = np.random.default_rng(3)
     tex = jnp.asarray(rng.uniform(0.25, 0.75, size=(512, 512))
                       .astype(np.float32))
-    # Huge incoherent spread inside single tiles.
+    # Huge incoherent spread inside single tiles: guaranteed far beyond
+    # any static window.
     u = jnp.asarray(rng.uniform(0, 1, size=(8, 128)).astype(np.float32))
     v = jnp.asarray(rng.uniform(0, 1, size=(8, 128)).astype(np.float32))
+    for mode in (sampling.CLAMP, sampling.REPEAT):
+        ref = sampling.sample_bilinear(tex[..., None], u, v, mode)[..., 0]
+        out = sample_pallas.sample_bilinear_tiled(tex, u, v, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-6)
+
+
+def test_out_of_window_exact_with_mask():
+    """Sweep + mask: masked pixels are exact wherever they land; only
+    masked-OUT pixels read oob_value."""
+    rng = np.random.default_rng(4)
+    tex = jnp.asarray(rng.uniform(size=(1024, 1024)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(0, 1, size=(24, 256)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, size=(24, 256)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(24, 256)) > 0.35)
+    ref = sampling.sample_bilinear(tex[..., None], u, v,
+                                   sampling.CLAMP)[..., 0]
     out = np.asarray(sample_pallas.sample_bilinear_tiled(
-        tex, u, v, sampling.CLAMP))
-    assert out.min() >= 0.25 - 1e-5 and out.max() <= 0.75 + 1e-5
+        tex, u, v, sampling.CLAMP, oob_value=1.0, mask=mask))
+    m = np.asarray(mask)
+    np.testing.assert_allclose(out[m], np.asarray(ref)[m], atol=4e-6)
+    np.testing.assert_allclose(out[~m], 1.0)
+
+
+def test_batched_out_of_window_exact():
+    """Frame-batched sampler: per-frame sweep segments stay inside each
+    frame's own (vertically stacked) texture."""
+    rng = np.random.default_rng(5)
+    F = 3
+    tex_b = jnp.asarray(rng.uniform(size=(F, 512, 512)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(0, 1, size=(F, 16, 128)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, size=(F, 16, 128)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(F, 16, 128)) > 0.2)
+    out = np.asarray(sample_pallas.sample_bilinear_tiled_batch(
+        tex_b, u, v, sampling.CLAMP, oob_value=1.0, mask=mask))
+    m = np.asarray(mask)
+    for f in range(F):
+        ref = np.asarray(sampling.sample_bilinear(
+            tex_b[f][..., None], u[f], v[f], sampling.CLAMP)[..., 0])
+        np.testing.assert_allclose(out[f][m[f]], ref[m[f]], atol=4e-6)
+        np.testing.assert_allclose(out[f][~m[f]], 1.0)

@@ -228,6 +228,8 @@ def main():
                              no_batch=args.no_batch)
         except Exception as e:  # report, keep benching the rest
             r = {"config": idx, "error": str(e)[:500]}
+        if idx == 3 and cfgs.LAST_OBJ_ASSET:
+            r["asset"] = cfgs.LAST_OBJ_ASSET
         if not args.skip_psnr:
             try:
                 r["psnr_vs_reference_db"], r["psnr_scale"] = psnr_config(idx)

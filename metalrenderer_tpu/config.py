@@ -70,10 +70,18 @@ class RenderConfig:
     # framework approximates — SURVEY.md §7 risk list).
     near_eps: float = 1e-6
 
+    def __post_init__(self):
+        # Reject unsupported sample counts at CONSTRUCTION, not first
+        # use: only the pinned patterns below have defined positions
+        # (Metal exposes exactly the fixed per-count patterns too).
+        if self.msaa not in SAMPLE_POSITIONS:
+            raise ValueError(
+                f"msaa={self.msaa} unsupported; must be one of "
+                f"{tuple(SAMPLE_POSITIONS)} (patterns are pinned — "
+                "config.SAMPLE_POSITIONS)")
+
     @property
     def sample_positions(self):
-        if self.msaa not in SAMPLE_POSITIONS:
-            raise ValueError(f"msaa must be one of {tuple(SAMPLE_POSITIONS)}")
         return SAMPLE_POSITIONS[self.msaa]
 
     def replace(self, **kw):

@@ -84,7 +84,8 @@ def cmd_render(args):
 
 def cmd_audioapp(args):
     from .config import RenderConfig
-    from .engine.renderer import render_audio_reactive_sequence
+    from .engine.renderer import (render_audio_reactive_sequence,
+                                  stream_audio_reactive)
     from .io import png, wav
     from .scene.camera import OrbitCamera
 
@@ -94,6 +95,38 @@ def cmd_audioapp(args):
                        shadow_map_size=args.shadow_map_size)
     cam = OrbitCamera(radius=args.radius, theta=args.theta, phi=args.phi,
                       aspect=args.width / args.height)
+    if args.stream:
+        # Streaming serving mode: frames land incrementally, one batch
+        # per --chunk-frames audio buffers (~21 ms each at 48 kHz) —
+        # the analog of the reference's live tap cadence
+        # (AudioInputLayer.mm:22). Telemetry is one JSON line per chunk
+        # with the wall-clock latency of that chunk's render.
+        import time
+
+        out = pathlib.Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        if args.max_frames is not None:
+            mono = mono[:args.max_frames * 1024]
+        i = 0
+        for frames, telem in stream_audio_reactive(
+                mono, rate, chunk_frames=args.chunk_frames, camera=cam,
+                config=cfg, backend=args.backend,
+                cube_position=tuple(args.cube_pos),
+                light_position=tuple(args.light_pos)):
+            t0 = time.perf_counter()
+            frames = np.asarray(frames)   # device sync: chunk is done
+            latency_ms = (time.perf_counter() - t0) * 1e3
+            for f in range(frames.shape[0]):
+                png.write_png(out / f"frame_{i + f:05d}.png", frames[f])
+            print(json.dumps({
+                "chunk_first_frame": i, "frames": int(frames.shape[0]),
+                "fetch_ms": round(latency_ms, 2),
+                "light_intensity":
+                    np.asarray(telem["light_intensity"]).tolist(),
+            }), flush=True)
+            i += frames.shape[0]
+        print(f"streamed {i} frames to {out}", file=sys.stderr)
+        return
     frames, telemetry = render_audio_reactive_sequence(
         mono, rate, camera=cam, config=cfg, backend=args.backend,
         max_frames=args.max_frames,
@@ -194,6 +227,12 @@ def main(argv=None):
     p.add_argument("--wav", required=True)
     p.add_argument("--out-dir", default="frames")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="render incrementally as audio chunks arrive "
+                        "(bounded latency; one compiled batch program "
+                        "reused per chunk)")
+    p.add_argument("--chunk-frames", type=int, default=16,
+                   help="frames (1024-sample buffers) per streamed batch")
     p.set_defaults(fn=cmd_audioapp)
 
     p = sub.add_parser(

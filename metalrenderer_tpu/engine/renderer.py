@@ -112,6 +112,102 @@ def render_camera_path(scene, lighting, key_poses, frames_per_segment=8,
     return jax.lax.map(frame, (seg, t))
 
 
+def stream_audio_reactive(samples, sample_rate, chunk_frames=16,
+                          camera=None,
+                          cube_position=(0.0, 0.0, -1.0),
+                          light_position=(0.0, 2.0, 0.0),
+                          config: RenderConfig = RenderConfig(),
+                          shadow_config: ShadowConfig = ShadowConfig(),
+                          backend="pallas"):
+    """Streaming serving mode: yield rendered frames as audio arrives.
+
+    The faithful analog of the reference's live path — the CoreAudio tap
+    delivers a 1024-sample buffer every ~21 ms @48 kHz
+    (AudioInputLayer.mm:22, SURVEY.md §3.3) and each buffer drives one
+    frame. Here ``chunk_frames`` buffers are batched per render (bounded
+    latency = chunk_frames x 21 ms of audio + one program dispatch) and
+    every chunk reuses the SAME compiled batch program (static shapes).
+
+    Analyzer/visual state carries across chunks (lax.scan is causal), so
+    the concatenated stream output equals the offline
+    render_audio_reactive_sequence exactly.
+
+    Yields (frames f32[<=chunk_frames, H, W, 4], telemetry dict) per
+    chunk; the last chunk is zero-padded for compile reuse and trimmed
+    before yielding.
+    """
+    from ..passes.pipeline import (fused_batch_eligible,
+                                   render_frame_batch_fused)
+
+    if camera is None:
+        camera = audio_app.default_camera(config.width, config.height)
+    cube_position = jnp.asarray(cube_position, jnp.float32)
+    light_position = jnp.asarray(light_position, jnp.float32)
+
+    def scene_of(p: mapping.VisualParams):
+        return audio_app.build_scene(cube_position, light_position,
+                                     p.light_color)
+
+    def lighting_of(p: mapping.VisualParams):
+        return Lighting(
+            light=PointLight(position=light_position, color=p.light_color,
+                             intensity=p.light_intensity),
+            ambient_intensity=jnp.asarray(0.1, jnp.float32),
+            shininess=jnp.asarray(32.0, jnp.float32),
+        )
+
+    samples = jnp.asarray(samples, jnp.float32)
+    chunk_samples = chunk_frames * analyzer.FFT_SIZE
+    n_frames = samples.shape[0] // analyzer.FFT_SIZE
+    if n_frames == 0:
+        return
+
+    a_state = None
+    v_state = mapping.VisualState.init()
+    template = None
+    for start in range(0, n_frames, chunk_frames):
+        nf = min(chunk_frames, n_frames - start)
+        block = samples[start * analyzer.FFT_SIZE:
+                        start * analyzer.FFT_SIZE + nf * analyzer.FFT_SIZE]
+        if nf < chunk_frames:   # pad the tail for compile reuse
+            block = jnp.pad(block, (0, chunk_samples - block.shape[0]))
+        a_state, v_state, params, ctxs = audio_visual_track(
+            block, sample_rate, a_state, v_state)
+
+        if template is None:
+            template = jax.tree.map(lambda x: x[0], params)
+            use_fused = (backend == "pallas" and fused_batch_eligible(
+                scene_of(template), lighting_of(template), config, camera))
+
+        if use_fused:
+            frames, _ = render_frame_batch_fused(
+                scene_of(template), camera, lighting_of(template),
+                config, shadow_config, params.displacement,
+                jnp.full((chunk_frames,), camera.theta, jnp.float32),
+                shadow_target=cube_position,
+                scene_fn=scene_of, lighting_fn=lighting_of,
+                frame_params=params)
+        else:
+            def frame(p: mapping.VisualParams):
+                fb, _ = render_frame(scene_of(p), camera, lighting_of(p),
+                                     config, shadow_config,
+                                     p.displacement, cube_position, backend)
+                return fb
+
+            frames = jax.lax.map(frame, params)
+        telemetry = {
+            "light_color": params.light_color[:nf],
+            "light_intensity": params.light_intensity[:nf],
+            "displacement": params.displacement[:nf],
+            "energy": ctxs.energy[:nf],
+            "brightness": ctxs.brightness[:nf],
+            "melancholy": ctxs.melancholy[:nf],
+            "pitch_hz": ctxs.dominant_pitch[:nf],
+            "pitch_confidence": ctxs.pitch_confidence[:nf],
+        }
+        yield frames[:nf], telemetry
+
+
 def render_audio_reactive_sequence(
         samples, sample_rate,
         camera=None,

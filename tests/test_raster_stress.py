@@ -127,3 +127,31 @@ def test_big_triangle_tiebreak_documented_order():
         # A pixel covered only by the big triangle.
         assert win[50, 100] == big_idx
         del small_idx
+
+
+def test_guard_band_4k_artifact():
+    """Enforce the committed 4K-scale envelope proof (VERDICT r3 item 8).
+
+    ``benchmarks/stress_4k_envelope.py`` runs the Pallas rasterizer at
+    the full 3840x2160 framebuffer with vertices flung up to 3e6 px
+    off-screen (the worst-case post-near-clip extent at 4K) on REAL
+    TPU and validates coverage against an f64 oracle; this test gates
+    the committed artifact the same way ``test_tpu_parity`` gates the
+    PSNR record. Skips until the artifact lands."""
+    import json
+    import pathlib
+
+    import pytest
+
+    art = (pathlib.Path(__file__).parent.parent / "benchmarks"
+           / "stress4k_r04.json")
+    if not art.exists():
+        pytest.skip("no committed 4K envelope artifact yet")
+    rec = json.loads(art.read_text())
+    assert rec["width"] == 3840 and rec["height"] == 2160
+    assert rec["max_offscreen_px"] >= 1e6, rec["max_offscreen_px"]
+    assert rec["mismatches"] == 0, rec
+    # The proof must exercise BOTH coverage outcomes at scale.
+    assert rec["oracle_covered_safe_px"] > 1000
+    assert rec["oracle_uncovered_safe_px"] > 1000
+    assert rec["ok"] is True

@@ -207,6 +207,40 @@ def cmd_analyze(args):
         }))
 
 
+def cmd_session(args):
+    """Interactive loop analog (MtlEngine::run + GLFW callbacks): JSON
+    input events -> camera/scene state -> frames, from stdin or a
+    script file. One telemetry JSON line per frame on stdout."""
+    from .config import RenderConfig
+    from .engine.session import InteractiveSession
+    from .io import png
+    from .scene.camera import OrbitCamera
+
+    cfg = RenderConfig(width=args.width, height=args.height, msaa=args.msaa,
+                       shadow_map_size=args.shadow_map_size)
+    cam = OrbitCamera(radius=args.radius, theta=args.theta, phi=args.phi,
+                      aspect=args.width / args.height)
+    sess = InteractiveSession(
+        config=cfg, camera=cam, backend=args.backend,
+        cube_pos=tuple(args.cube_pos), light_pos=tuple(args.light_pos),
+        light_color=tuple(args.light_color),
+        displacement=args.displacement)
+
+    out_dir = pathlib.Path(args.out_dir) if args.out_dir else None
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    def on_frame(fb, telem):
+        if out_dir is not None and telem["frame"] % args.png_every == 0:
+            png.write_png(str(out_dir / f"frame_{telem['frame']:05d}.png"),
+                          np.asarray(fb))
+
+    lines = (pathlib.Path(args.events).read_text().splitlines()
+             if args.events else sys.stdin)
+    for _, telem in sess.run(lines, on_frame=on_frame):
+        print(json.dumps(telem), flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="metalrenderer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -244,6 +278,19 @@ def main(argv=None):
     p.add_argument("--frames-per-segment", type=int, default=24)
     p.add_argument("--out-dir", default="flythrough")
     p.set_defaults(fn=cmd_flythrough)
+
+    p = sub.add_parser(
+        "session",
+        help="interactive loop: JSON input events (stdin or --events "
+             "file) -> camera/scene updates -> frames + telemetry")
+    _add_render_args(p)
+    p.add_argument("--events", default=None,
+                   help="event script file (default: read stdin)")
+    p.add_argument("--out-dir", default=None,
+                   help="write PNG frames here (default: telemetry only)")
+    p.add_argument("--png-every", type=int, default=1,
+                   help="write every Nth frame's PNG")
+    p.set_defaults(fn=cmd_session)
 
     p = sub.add_parser("analyze", help="audio feature telemetry (JSON lines)")
     p.add_argument("--wav", required=True)

@@ -210,6 +210,15 @@ def main():
         return cfgs.config5_animated_high_poly(**kw)
 
     results = []
+
+    def flush():
+        # Write after EVERY row: a later config hitting the remote
+        # compile window must not lose the rows already measured
+        # (round-3 lesson — the TPU pool died mid-sweep).
+        if args.out:
+            pathlib.Path(args.out).write_text(
+                json.dumps(results, indent=1) + "\n")
+
     for c in args.configs.split(","):
         if c == "5s":
             try:
@@ -218,6 +227,7 @@ def main():
                 r = {"config": "5_sharded_frame_batch",
                      "error": str(e)[:500]}
             results.append(r)
+            flush()
             print(json.dumps(r), flush=True)
             continue
         idx = int(c)
@@ -236,10 +246,8 @@ def main():
             except Exception as e:
                 r["psnr_error"] = str(e)[:500]
         results.append(r)
+        flush()
         print(json.dumps(r), flush=True)
-    if args.out:
-        pathlib.Path(args.out).write_text(
-            json.dumps(results, indent=1) + "\n")
 
 
 if __name__ == "__main__":

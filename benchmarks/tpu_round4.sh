@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-4 TPU measurement queue (VERDICT r3 "Next round" items 1-8).
+#
+# Every step is bounded by `timeout` and logged to $LOGDIR so a pool
+# outage mid-queue still leaves partial artifacts (bench_all also
+# rewrites its --out file after every row). Compile-heavy steps are
+# LADDERED — a small size must succeed before the full-scale compile
+# launches — because killing a client mid-compile orphans the remote
+# helper's job and takes the shared pool down (the round-3 outage).
+#
+# Usage: bash benchmarks/tpu_round4.sh [logdir]
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-/tmp/r4pipe}
+mkdir -p "$LOGDIR"
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name start $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"
+  timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"
+  return $rc
+}
+
+# 0. Backend must answer before anything compiles.
+step 00_probe 420 python -c "
+import jax, numpy as np, jax.numpy as jnp
+print(jax.devices())
+print(np.asarray(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))
+" || { echo 'TPU unavailable — aborting queue'; exit 1; }
+
+# 1. Headline bench, both shapes (VERDICT #1/#6: flip default to winner).
+step 10_bench_scan  3000 python bench.py
+step 11_bench_batch 3000 python bench.py --batch
+
+# 2. Config sweep 1-4 with PSNR -> activates the parity gate.
+step 20_bench_all_1234 9000 python benchmarks/bench_all.py \
+  --configs 1,2,3,4 --out benchmarks/results_r03.json
+
+# 3. 4K guard-band envelope proof artifact (VERDICT #8).
+step 30_stress4k 2400 python benchmarks/stress_4k_envelope.py \
+  --out benchmarks/stress4k_r04.json
+
+# 4. Config-1 compile attribution (VERDICT #5).
+step 40_mip_compile 2400 python benchmarks/mip_compile_probe.py
+
+# 5. Config-5 compile ladder (VERDICT #4): 250k must pass before 1M.
+if step 50_attrib_250k 1800 python benchmarks/compile_attrib.py \
+     --tris 250000 --stages prep,binning; then
+  step 51_attrib_1m 4200 python benchmarks/compile_attrib.py \
+    --tris 1000000 --stages prep,binning
+fi
+
+# 6. Config 5 at spec (separate invocation + merge so a compile-window
+#    blowout cannot damage results_r03.json).
+if [ -f "$LOGDIR/51_attrib_1m.log" ] && grep -q compile_s "$LOGDIR/51_attrib_1m.log"; then
+  step 60_config5 9000 python benchmarks/bench_all.py --configs 5 \
+    --tris5 1000000 --size5 3840x2160 --out "$LOGDIR/results_c5.json"
+  python - "$LOGDIR" <<'EOF'
+import json, pathlib, sys
+logdir = pathlib.Path(sys.argv[1])
+main = pathlib.Path("benchmarks/results_r03.json")
+c5 = logdir / "results_c5.json"
+if main.exists() and c5.exists():
+    rows = json.loads(main.read_text())
+    rows = [r for r in rows if r.get("config") != 5]
+    rows += json.loads(c5.read_text())
+    main.write_text(json.dumps(rows, indent=1) + "\n")
+    print("merged config-5 rows into", main)
+EOF
+fi
+
+# 7. Fresh flagship stage anatomy (VERDICT #2).
+step 70_profile_stages 3000 python benchmarks/profile_stages.py
+
+echo "=== queue done $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"

@@ -75,8 +75,10 @@ def main():
 
     disps = jnp.linspace(0.0, 0.05, FRAMES)
     thetas = jnp.full((FRAMES,), camera.theta, jnp.float32)
+    t0 = time.perf_counter()
     total, means = run_batch(scene, camera, lighting, disps, thetas)
     jax.block_until_ready((total, means))
+    first_call_s = time.perf_counter() - t0
 
     if "--trace" in sys.argv:
         with profiling.device_trace() as d:
@@ -100,7 +102,8 @@ def main():
         "vs_baseline": round(mpix_s / TARGET_MPIX_S, 4),
     }))
     print(f"# {fps:.2f} fps at {WIDTH}x{HEIGHT} msaa4, {FRAMES}-frame batch "
-          f"(backend={jax.default_backend()}, checksum={float(total):.4f})",
+          f"(backend={jax.default_backend()}, checksum={float(total):.4f}, "
+          f"first_call_s={first_call_s:.1f})",
           file=sys.stderr)
 
 

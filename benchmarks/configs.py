@@ -109,10 +109,17 @@ def _obj_asset_mesh(target_tris):
     objparser.cpp when available, Python fallback otherwise) — the same
     path a user's asset takes (reference analog: Texture.cpp:3-24 + the
     planned assimp import, pbxproj:148)."""
+    import hashlib
+
     from metalrenderer_tpu.io import obj as obj_mod
     cache = pathlib.Path(__file__).resolve().parent / "_assets"
     cache.mkdir(exist_ok=True)
-    path = cache / f"sphere_{target_tris}.obj"
+    # Key the cached file by the generator's bytecode too: a stale
+    # cache after editing _dense_sphere_mesh would otherwise silently
+    # bench (and PSNR-check) the OLD geometry.
+    gen_tag = hashlib.sha1(
+        _dense_sphere_mesh.__code__.co_code).hexdigest()[:8]
+    path = cache / f"sphere_{target_tris}_{gen_tag}.obj"
     if not path.exists():
         obj_mod.save_obj(str(path), _dense_sphere_mesh(target_tris))
     global LAST_OBJ_ASSET

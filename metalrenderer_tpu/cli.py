@@ -103,17 +103,28 @@ def cmd_audioapp(args):
         # with the wall-clock latency of that chunk's render.
         import time
 
+        from .audio import analyzer
+
         out = pathlib.Path(args.out_dir)
         out.mkdir(parents=True, exist_ok=True)
         if args.max_frames is not None:
-            mono = mono[:args.max_frames * 1024]
+            mono = mono[:args.max_frames * analyzer.FFT_SIZE]
         i = 0
-        for frames, telem in stream_audio_reactive(
-                mono, rate, chunk_frames=args.chunk_frames, camera=cam,
-                config=cfg, backend=args.backend,
-                cube_position=tuple(args.cube_pos),
-                light_position=tuple(args.light_pos)):
+        stream = stream_audio_reactive(
+            mono, rate, chunk_frames=args.chunk_frames, camera=cam,
+            config=cfg, backend=args.backend,
+            cube_position=tuple(args.cube_pos),
+            light_position=tuple(args.light_pos))
+        while True:
+            # Timer wraps the generator pull: tracing/dispatch (and the
+            # first chunk's compile) happen inside the generator, so
+            # starting the clock after it resumes would understate the
+            # chunk's real latency.
             t0 = time.perf_counter()
+            try:
+                frames, telem = next(stream)
+            except StopIteration:
+                break
             frames = np.asarray(frames)   # device sync: chunk is done
             latency_ms = (time.perf_counter() - t0) * 1e3
             for f in range(frames.shape[0]):

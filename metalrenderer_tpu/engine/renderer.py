@@ -50,6 +50,13 @@ def audio_visual_track(samples, sample_rate,
     return a_state, v_state, params, ctxs
 
 
+# One jitted entry shared by the offline sequence and the streaming
+# chunks: per-frame numerics are identical either way (the scan body is
+# trip-count-invariant), and repeated chunk calls hit the jit cache
+# instead of re-tracing the whole analysis pipeline every chunk.
+_track_jit = jax.jit(audio_visual_track)
+
+
 def render_camera_path(scene, lighting, key_poses, frames_per_segment=8,
                        config: RenderConfig = RenderConfig(),
                        shadow_config: ShadowConfig = ShadowConfig(),
@@ -162,39 +169,55 @@ def stream_audio_reactive(samples, sample_rate, chunk_frames=16,
     if n_frames == 0:
         return
 
-    a_state = None
+    # Per-chunk programs are built ONCE (jit caches key on function
+    # identity): fresh closures inside the loop would re-trace — and on
+    # this platform potentially re-compile — every chunk, breaking the
+    # bounded-latency contract for the non-fused path.
+    sample_rate = jnp.asarray(sample_rate, jnp.float32)
+    a_state = analyzer.AnalyzerState.init()
     v_state = mapping.VisualState.init()
-    template = None
+    render_chunk = None
     for start in range(0, n_frames, chunk_frames):
         nf = min(chunk_frames, n_frames - start)
         block = samples[start * analyzer.FFT_SIZE:
                         start * analyzer.FFT_SIZE + nf * analyzer.FFT_SIZE]
         if nf < chunk_frames:   # pad the tail for compile reuse
             block = jnp.pad(block, (0, chunk_samples - block.shape[0]))
-        a_state, v_state, params, ctxs = audio_visual_track(
+        a_state, v_state, params, ctxs = _track_jit(
             block, sample_rate, a_state, v_state)
 
-        if template is None:
+        if render_chunk is None:
             template = jax.tree.map(lambda x: x[0], params)
             use_fused = (backend == "pallas" and fused_batch_eligible(
                 scene_of(template), lighting_of(template), config, camera))
+            if use_fused:
+                # Raw call, exactly like the offline sequence's fused
+                # branch (same ops -> bit-identical): the Pallas
+                # kernels dominate and their executables are cached;
+                # only the thin prep re-traces per chunk.
+                def render_chunk(params):
+                    rgba, _ = render_frame_batch_fused(
+                        scene_of(template), camera, lighting_of(template),
+                        config, shadow_config, params.displacement,
+                        jnp.full((chunk_frames,), camera.theta,
+                                 jnp.float32),
+                        shadow_target=cube_position,
+                        scene_fn=scene_of, lighting_fn=lighting_of,
+                        frame_params=params)
+                    return rgba
+            else:
+                @jax.jit
+                def render_chunk(params):
+                    def frame(p: mapping.VisualParams):
+                        fb, _ = render_frame(
+                            scene_of(p), camera, lighting_of(p),
+                            config, shadow_config, p.displacement,
+                            cube_position, backend)
+                        return fb
 
-        if use_fused:
-            frames, _ = render_frame_batch_fused(
-                scene_of(template), camera, lighting_of(template),
-                config, shadow_config, params.displacement,
-                jnp.full((chunk_frames,), camera.theta, jnp.float32),
-                shadow_target=cube_position,
-                scene_fn=scene_of, lighting_fn=lighting_of,
-                frame_params=params)
-        else:
-            def frame(p: mapping.VisualParams):
-                fb, _ = render_frame(scene_of(p), camera, lighting_of(p),
-                                     config, shadow_config,
-                                     p.displacement, cube_position, backend)
-                return fb
+                    return jax.lax.map(frame, params)
 
-            frames = jax.lax.map(frame, params)
+        frames = render_chunk(params)
         telemetry = {
             "light_color": params.light_color[:nf],
             "light_intensity": params.light_intensity[:nf],
@@ -225,7 +248,9 @@ def render_audio_reactive_sequence(
     if camera is None:
         camera = audio_app.default_camera(config.width, config.height)
 
-    _, _, params, ctxs = audio_visual_track(samples, sample_rate)
+    _, _, params, ctxs = _track_jit(
+        samples, jnp.asarray(sample_rate, jnp.float32),
+        analyzer.AnalyzerState.init(), mapping.VisualState.init())
     if max_frames is not None:
         params = jax.tree.map(lambda x: x[:max_frames], params)
         ctxs = jax.tree.map(lambda x: x[:max_frames], ctxs)
@@ -271,7 +296,10 @@ def render_audio_reactive_sequence(
                                  p.displacement, cube_position, backend)
             return fb
 
-        frames = jax.lax.map(frame, params)
+        # Same jit(map(frame)) shape as the stream's per-chunk program:
+        # per-frame numerics are trip-count-invariant, which is what
+        # keeps stream == offline bit-exact.
+        frames = jax.jit(lambda ps: jax.lax.map(frame, ps))(params)
     telemetry = {
         "light_color": params.light_color,
         "light_intensity": params.light_intensity,

@@ -82,7 +82,10 @@ class InteractiveSession:
         """Apply one input event; returns how many frames to render."""
         kind = event.get("type")
         if kind == "cursor":
-            x, y = float(event["x"]), float(event["y"])
+            prev_xy = self._cursor if self._cursor is not None else (0.0,
+                                                                     0.0)
+            x = float(event.get("x", prev_xy[0]))
+            y = float(event.get("y", prev_xy[1]))
             prev, self._cursor = self._cursor, (x, y)
             # Shift-gated rotation (mtl_engine.mm:183-186); the first
             # cursor event only establishes the anchor position.

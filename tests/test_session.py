@@ -83,3 +83,14 @@ def test_run_loop_emits_telemetry_per_frame():
     assert [t["frame"] for t in telems] == [1, 2, 3]
     assert telems[0]["camera"]["radius"] == pytest.approx(4.8)
     assert "covered_fraction" in telems[0]["stats"]
+
+
+def test_cursor_event_with_missing_fields_is_safe():
+    """Docstring contract: all fields optional — a cursor event without
+    x/y must not crash the loop (it anchors at the last position)."""
+    s = _session()
+    s.handle_event({"type": "cursor", "shift": True})
+    t0 = float(np.asarray(s.camera.theta))
+    s.handle_event({"type": "cursor", "x": 10.0, "y": 0.0, "shift": True})
+    assert float(np.asarray(s.camera.theta)) == pytest.approx(
+        t0 + 10.0 * 0.005)

@@ -339,16 +339,29 @@ def _sweep_prefetch(x, y, maskf, wxg, wyg, smin, smax, sweep, win_h, win_w,
         red_axes = (1, 3)
     full_any = jnp.any(obt, axis=red_axes).reshape(-1).astype(jnp.int32)
 
+    # Per-(tile, segment) visit flags from the per-tile bounding box of
+    # the OOB pixels' floor coordinates — 4 reductions total instead of
+    # one full-resolution landing mask per segment (up to ~32 of them on
+    # the hot sampling path). Conservative by construction (a bbox can
+    # overlap a segment no actual pixel lands in): the kernel re-tests
+    # every pixel (`upd = in_seg & oob_pix`), so an over-claimed flag
+    # costs one extra segment visit, never a wrong sample.
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
+    inf = jnp.float32(jnp.inf)
+    x0t = x0.reshape(obt.shape)
+    y0t = y0.reshape(obt.shape)
+    x0min = jnp.min(jnp.where(obt, x0t, inf), axis=red_axes)
+    x0max = jnp.max(jnp.where(obt, x0t, -inf), axis=red_axes)
+    y0min = jnp.min(jnp.where(obt, y0t, inf), axis=red_axes)
+    y0max = jnp.max(jnp.where(obt, y0t, -inf), axis=red_axes)
+
     seg_any, seg_uni, seg_val = [], [], []
     for s in range(n_sy * n_sx):
         oy = min((s // n_sx) * sy, oy_max)
         ox = min((s % n_sx) * sx, ox_max)
-        in_seg = ((x0 >= ox) & (x0 + 1 <= ox + win_w - 1) &
-                  (y0 >= oy) & (y0 + 1 <= oy + win_h - 1))
-        lands = (oob & in_seg).reshape(obt.shape)
-        seg_any.append(jnp.any(lands, axis=red_axes))
+        seg_any.append((x0max >= ox) & (x0min <= ox + win_w - 2) &
+                       (y0max >= oy) & (y0min <= oy + win_h - 2))
         if batched:
             seg_uni.append(smin[:, oy // 8, ox // 128]
                            == smax[:, oy // 8, ox // 128])

@@ -10,32 +10,83 @@ dominate and misreport device throughput by >10x).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+OUTAGE-PROOF (VERDICT r4 item 2): if the accelerator backend cannot
+initialize — the axon TPU pool hangs or errors — the script still exits
+0 and prints a parseable record with ``value: null``, ``backend:
+"unavailable"``, the last driver-verified number, and the error, so a
+driver capture is never wasted on a raw stack trace. The backend is
+probed in a SUBPROCESS with a hard timeout because the observed outage
+mode is an indefinite hang inside device initialization, which no
+in-process try/except can bound.
+
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against the BASELINE.json north-star target of 1 Gpixel shaded/s/chip.
 """
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from metalrenderer_tpu.config import RenderConfig, ShadowConfig
-from metalrenderer_tpu.engine import audio_app
-from metalrenderer_tpu.scene.camera import OrbitCamera
-from metalrenderer_tpu.scene.lights import Lighting
-from metalrenderer_tpu.passes.pipeline import (render_frame,
-                                               render_frame_batch_fused)
-from metalrenderer_tpu.utils import profiling
 
 WIDTH, HEIGHT = 1920, 1080
 TARGET_MPIX_S = 1000.0  # north star: 1 Gpixel shaded/s/chip
 FRAMES = 128
 REPS = 3
+METRIC = "audio_app_1080p_msaa4_two_pass_pixels_shaded"
+# Last driver-verified flagship number (BENCH_r02.json, real TPU).
+LAST_VERIFIED_MPIX_S = 98.27
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
 
 
-def main():
+def _emit_unavailable(error):
+    """Print the structured outage record (one JSON line, rc=0)."""
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "Mpixel/s/chip",
+        "vs_baseline": None,
+        "backend": "unavailable",
+        "last_verified": LAST_VERIFIED_MPIX_S,
+        "error": str(error)[-500:],
+    }))
+
+
+def _probe_backend():
+    """Return (ok, info). Bounded subprocess device-init probe.
+
+    The round-3/4 outage presented as ``jax.devices()`` hanging forever
+    (orphaned remote compile job in the shared pool), so the probe must
+    run out-of-process under a timeout. ``BENCH_FORCE_OUTAGE=1`` forces
+    the failure path for the unit test.
+    """
+    if os.environ.get("BENCH_FORCE_OUTAGE"):
+        return False, "forced by BENCH_FORCE_OUTAGE"
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return False, (f"backend init hang: jax.devices() did not return "
+                       f"within {PROBE_TIMEOUT_S}s")
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()
+        return False, "backend init failed: " + " | ".join(tail[-3:])
+    return True, r.stdout.strip()
+
+
+def _run():
+    import jax
+    import jax.numpy as jnp
+
+    from metalrenderer_tpu.config import RenderConfig, ShadowConfig
+    from metalrenderer_tpu.engine import audio_app
+    from metalrenderer_tpu.scene.camera import OrbitCamera
+    from metalrenderer_tpu.scene.lights import Lighting
+    from metalrenderer_tpu.passes.pipeline import (render_frame,
+                                                   render_frame_batch_fused)
+    from metalrenderer_tpu.utils import profiling
+
     config = RenderConfig(width=WIDTH, height=HEIGHT, msaa=4,
                           shadow_map_size=1024)
     camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2,
@@ -96,7 +147,7 @@ def main():
     fps = FRAMES / best
     mpix_s = fps * WIDTH * HEIGHT / 1e6
     print(json.dumps({
-        "metric": "audio_app_1080p_msaa4_two_pass_pixels_shaded",
+        "metric": METRIC,
         "value": round(mpix_s, 2),
         "unit": "Mpixel/s/chip",
         "vs_baseline": round(mpix_s / TARGET_MPIX_S, 4),
@@ -105,6 +156,17 @@ def main():
           f"(backend={jax.default_backend()}, checksum={float(total):.4f}, "
           f"first_call_s={first_call_s:.1f})",
           file=sys.stderr)
+
+
+def main():
+    ok, info = _probe_backend()
+    if not ok:
+        _emit_unavailable(info)
+        return
+    try:
+        _run()
+    except Exception as exc:  # noqa: BLE001 — any escape wastes a capture
+        _emit_unavailable(f"{type(exc).__name__}: {exc}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,82 @@
+#!/bin/bash
+# Round-5 TPU measurement queue (VERDICT r4 "Next round" items 1-3, 8).
+#
+# Every step is bounded by `timeout` and logged to $LOGDIR so a pool
+# outage mid-queue still leaves partial artifacts (bench_all also
+# rewrites its --out file after every row). Compile-heavy steps are
+# LADDERED — a small size must succeed before the full-scale compile
+# launches — because killing a client mid-compile orphans the remote
+# helper's job and takes the shared pool down (the round-3 outage).
+#
+# Usage: bash benchmarks/tpu_round5.sh [logdir]
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-/tmp/r5pipe}
+mkdir -p "$LOGDIR"
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name start $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"
+  timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"
+  return $rc
+}
+
+# 0. Backend must answer before anything compiles.
+step 00_probe 420 python -c "
+import jax, numpy as np, jax.numpy as jnp
+print(jax.devices())
+print(np.asarray(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))
+" || { echo 'TPU unavailable — aborting queue'; exit 1; }
+
+# 1. Config sweep 1-4 with PSNR -> activates the parity gate (the
+#    round's #1 deliverable). Fast-compiling configs first so a short
+#    recovery window still yields rows (c2 23s / c4 19s / c3 90s in
+#    round 2; c1 was 956s before the round-5 mip restructure);
+#    --out is rewritten after every row.
+step 10_bench_all_1234 10000 python benchmarks/bench_all.py \
+  --configs 2,4,3,1 --out benchmarks/results_r05.json
+
+# 2. Headline bench, both shapes (flip default to the winner).
+step 20_bench_scan  3000 python bench.py
+step 21_bench_batch 3000 python bench.py --batch
+
+# 3. 4K guard-band envelope proof artifact.
+step 30_stress4k 2400 python benchmarks/stress_4k_envelope.py \
+  --out benchmarks/stress4k_r05.json
+
+# 4. Config-1 compile attribution (validates the mip restructure).
+step 40_mip_compile 2400 python benchmarks/mip_compile_probe.py
+
+# 5. Config-5 compile ladder: 250k must pass before 1M.
+if step 50_attrib_250k 1800 python benchmarks/compile_attrib.py \
+     --tris 250000 --stages prep,binning; then
+  step 51_attrib_1m 4200 python benchmarks/compile_attrib.py \
+    --tris 1000000 --stages prep,binning
+fi
+
+# 6. Config 5 AT SPEC (1M tris @ 3840x2160) — REQUIRED by the parity
+#    gate once results_r05.json exists, so this step must land a row
+#    (or a psnr_error row) in the main results file. Separate
+#    invocation + merge so a compile-window blowout cannot damage the
+#    configs-1-4 rows.
+step 60_config5 9000 python benchmarks/bench_all.py --configs 5 \
+  --tris5 1000000 --size5 3840x2160 --out "$LOGDIR/results_c5.json"
+python - "$LOGDIR" <<'EOF'
+import json, pathlib, sys
+logdir = pathlib.Path(sys.argv[1])
+main = pathlib.Path("benchmarks/results_r05.json")
+c5 = logdir / "results_c5.json"
+if main.exists() and c5.exists():
+    rows = json.loads(main.read_text())
+    rows = [r for r in rows if r.get("config") != 5]
+    rows += json.loads(c5.read_text())
+    main.write_text(json.dumps(rows, indent=1) + "\n")
+    print("merged config-5 rows into", main)
+EOF
+
+# 7. Fresh flagship stage anatomy.
+step 70_profile_stages 3000 python benchmarks/profile_stages.py
+
+echo "=== queue done $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"

@@ -88,10 +88,14 @@ class InteractiveSession:
             y = float(event.get("y", prev_xy[1]))
             prev, self._cursor = self._cursor, (x, y)
             # Shift-gated rotation (mtl_engine.mm:183-186); the first
-            # cursor event only establishes the anchor position.
+            # cursor event only establishes the anchor position. The
+            # vertical delta is REVERSED (prev_y - y) exactly as the
+            # reference's mouseCallback computes yoffset = lastY - ypos
+            # "since y-coordinates go from bottom to top"
+            # (mtl_engine.mm:177).
             if prev is not None and event.get("shift"):
                 self.camera = self.camera.process_mouse_movement(
-                    x - prev[0], y - prev[1])
+                    x - prev[0], prev[1] - y)
         elif kind == "drag":
             self.camera = self.camera.process_mouse_movement(
                 float(event.get("dx", 0.0)), float(event.get("dy", 0.0)))

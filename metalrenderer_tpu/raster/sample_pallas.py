@@ -47,6 +47,14 @@ Round-4 upgrade (VERDICT r3 item 3 — kill the lit-fallback):
 Since round 2 this kernel serves ONLY the shadow-map test
 (BlinnPhong.metal:91); color textures and normal maps use the batched
 pyramid sampler (mip_pallas.py).
+
+VERIFICATION STATUS: the segment-sweep path (async DMA inside
+lax.fori_loop under nested pl.when + the enlarged scalar-prefetch
+list) has so far executed only in interpret mode — the TPU pool was
+down for all of rounds 3-4. Its Mosaic compilability and MXU numerics
+are gated by the real-TPU parity sweep (benchmarks/tpu_round5.sh step
+10 -> tests/test_tpu_parity.py); do not rely on the exactness claim on
+hardware until that gate is green.
 """
 from __future__ import annotations
 
@@ -308,7 +316,9 @@ def _pad_aligned(tex, address_mode, axes=(0, 1)):
     """Pad a texture up by one alignment unit (8 rows / 128 cols) so
     every bilinear tap index is in-extent: wrap-content for repeat
     (tap x0+1 == tex_w reads texel 0's value), edge copies for clamp
-    (taps never reach padding — coords are clamped to tex-1.001)."""
+    (coords are clipped to tex-0.5, so the top tap x0+1 == tex_w
+    INTENTIONALLY reads the edge-replicated padding texel — that is
+    what reproduces the clamp-to-edge plateau of a hardware sampler)."""
     h_ax, w_ax = axes
     pad = [(0, 0)] * tex.ndim
     pad[h_ax] = (0, 8 + (-tex.shape[h_ax]) % 8)

@@ -34,7 +34,7 @@ def _render(scene, camera, lighting, cfg, backend="pallas"):
 def _assert_parity(scene, cam, light, cfg, fb_pallas, bar_db=40.0):
     """Pallas vs brute-force-reference PSNR >= the BASELINE bar (the
     same-feature interpret-mode check; real-TPU numbers are recorded
-    separately in benchmarks/results_r03.json, tests/test_tpu_parity.py)."""
+    separately in benchmarks/results_r*.json, tests/test_tpu_parity.py)."""
     fb_ref, _ = _render(scene, cam, light, cfg, backend="reference")
     mse = float(np.mean((fb_pallas - fb_ref) ** 2))
     psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else np.inf

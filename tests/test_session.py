@@ -32,6 +32,16 @@ def test_cursor_rotation_is_shift_gated():
                     "shift": True})
     assert float(np.asarray(s.camera.theta)) == pytest.approx(
         t0 + 40.0 * 0.005)
+    # Phi direction: the reference REVERSES the vertical delta
+    # (yoffset = lastY - ypos, mtl_engine.mm:177) before
+    # processMouseMovement does phi -= dy*s*0.5 (Camera.cpp:35).
+    # Cursor moving DOWN the screen (y grows) => yoffset < 0 => phi
+    # INCREASES.
+    p0 = float(np.asarray(s.camera.phi))
+    s.handle_event({"type": "cursor", "x": 190.0, "y": 140.0,
+                    "shift": True})
+    assert float(np.asarray(s.camera.phi)) == pytest.approx(
+        p0 + 50.0 * 0.005 * 0.5)
 
 
 def test_scroll_dolly_clamps_min_radius():

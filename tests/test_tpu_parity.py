@@ -1,41 +1,63 @@
-"""Real-TPU parity gate (VERDICT r2 item 4).
+"""Real-TPU parity gate (VERDICT r2 item 4; silent-skip hole closed r5).
 
 The BASELINE correctness bar is PSNR >= 40 dB vs the reference backend
 for every benchmark config ON REAL TPU hardware — a class of deviation
 (MXU default-precision rounding, tile-relative FMA ULP differences)
 that interpret-mode CPU tests can never see. The numbers are measured
 by ``benchmarks/bench_all.py`` (``psnr_config``) on the TPU and
-committed to ``benchmarks/results_r03.json``; this test enforces the
-bar on the committed record so a regression that lowers any config
-below 40 dB fails the suite once the new results land.
+committed to ``benchmarks/results_r*.json``; this test enforces the
+bar on the LATEST committed record so a regression that lowers any
+config below 40 dB fails the suite once results land.
+
+Config 5 (1M tris @4K sharded) was allowed to skip-if-absent through
+round 3 because its at-spec compile needed a separate invocation.
+VERDICT r4 weak #3 flagged that as a silent-skip hole: from
+``results_r04.json`` on, the config-5 row is REQUIRED — a sweep that
+lands without it turns the suite red instead of silently green.
 """
 import json
 import pathlib
+import re
 
 import pytest
 
-RESULTS = (pathlib.Path(__file__).parent.parent / "benchmarks"
-           / "results_r03.json")
+BENCH_DIR = pathlib.Path(__file__).parent.parent / "benchmarks"
 BAR_DB = 40.0
 
 
+def _latest_results():
+    """Return (round_number, path) for the newest results_r*.json."""
+    best = None
+    for p in BENCH_DIR.glob("results_r*.json"):
+        m = re.fullmatch(r"results_r(\d+)\.json", p.name)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    return best
+
+
 def _load():
-    if not RESULTS.exists():
+    best = _latest_results()
+    if best is None:
         pytest.skip("no TPU results file committed yet")
-    return json.loads(RESULTS.read_text())
+    rnd, path = best
+    if rnd < 3:
+        # results_r02.json predates the per-config PSNR sweep — its rows
+        # carry compile/runtime only, nothing this gate can enforce.
+        pytest.skip(f"{path.name} predates the PSNR sweep (r3+)")
+    return rnd, path, json.loads(path.read_text())
 
 
 @pytest.mark.parametrize("config_idx", [1, 2, 3, 4, 5])
 def test_config_psnr_vs_reference_on_tpu(config_idx):
-    rows = [r for r in _load() if r.get("config") == config_idx]
-    if not rows and config_idx == 5:
-        # Config 5 (1M tris @4K) is measured in a separate at-spec
-        # invocation because its whole-program compile can exceed the
-        # remote helper's window; its row merges in when that run
-        # lands (benchmarks/tpu_round4.sh step 60). Configs 1-4 are
-        # always required.
-        pytest.skip("config-5 at-spec row pending (separate run)")
-    assert rows, f"config {config_idx} missing from {RESULTS.name}"
+    rnd, path, rows_all = _load()
+    rows = [r for r in rows_all if r.get("config") == config_idx]
+    if not rows and config_idx == 5 and rnd < 4:
+        # Historical records (r2/r3) predate the at-spec config-5 run.
+        pytest.skip("config-5 at-spec row absent from pre-r4 record")
+    assert rows, (f"config {config_idx} missing from {path.name} — "
+                  f"required for every results_r04+ sweep")
     row = rows[0]
     assert "psnr_vs_reference_db" in row, (
         f"config {config_idx} has no recorded TPU parity number: "

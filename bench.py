@@ -79,6 +79,9 @@ def _run():
     import jax
     import jax.numpy as jnp
 
+    from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from metalrenderer_tpu.config import RenderConfig, ShadowConfig
     from metalrenderer_tpu.engine import audio_app
     from metalrenderer_tpu.scene.camera import OrbitCamera

@@ -18,6 +18,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from benchmarks import configs as cfgs
@@ -62,6 +64,58 @@ def psnr_config(idx):
     mse = float(both(scene, camera, lighting))
     psnr = 10.0 * jnp.log10(1.0 / mse) if mse > 0 else jnp.inf
     return round(float(psnr), 1), f"{config.width}x{config.height}"
+
+
+def flagship_golden(w=1920, h=1080, msaa=4, shadow_map=1024):
+    """On-hardware golden at REAL resolution (VERDICT r4 item 8): the
+    flagship AudioApp scene at 1920x1080 MSAA4, pallas vs brute-force
+    reference ON DEVICE, full-res PSNR + sha256 of the u8 image. The
+    r2 bf16-precision bug proved interpret-mode CI cannot catch this
+    class; tests/test_tpu_parity.py enforces this row once committed.
+    (Non-default sizes exist for the CPU smoke test only.)"""
+    import hashlib
+
+    import numpy as np
+
+    from metalrenderer_tpu.config import RenderConfig
+    from metalrenderer_tpu.engine import audio_app
+    from metalrenderer_tpu.io.png import to_u8
+    from metalrenderer_tpu.scene.camera import OrbitCamera
+    from metalrenderer_tpu.scene.lights import Lighting
+
+    config = RenderConfig(width=w, height=h, msaa=msaa,
+                          shadow_map_size=shadow_map)
+    camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=w / h)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+
+    @jax.jit
+    def both(scene, camera, lighting):
+        fb_p, _ = render_frame(scene, camera, lighting, config,
+                               ShadowConfig(), 0.0,
+                               jnp.asarray([0.0, 0.0, -1.0]),
+                               backend="pallas")
+        fb_r, _ = render_frame(scene, camera, lighting, config,
+                               ShadowConfig(), 0.0,
+                               jnp.asarray([0.0, 0.0, -1.0]),
+                               backend="reference")
+        return fb_p, jnp.mean((fb_p - fb_r) ** 2)
+
+    t0 = time.perf_counter()
+    fb, mse = jax.block_until_ready(both(scene, camera, lighting))
+    compile_s = time.perf_counter() - t0
+    mse = float(mse)
+    psnr = 10.0 * jnp.log10(1.0 / mse) if mse > 0 else jnp.inf
+    u8 = to_u8(np.asarray(fb))
+    return {
+        "config": "flagship_1080p_golden",
+        "width": w, "height": h, "msaa": msaa,
+        "psnr_vs_reference_db": round(float(psnr), 1),
+        "psnr_scale": f"{w}x{h}",
+        "checksum_sha256_u8": hashlib.sha256(u8.tobytes()).hexdigest(),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
 
 
 def bench_config(idx, scene, camera, lighting, config, no_batch=False):
@@ -189,7 +243,7 @@ BUILDERS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,5s")
+    ap.add_argument("--configs", default="1,2,3,4,5,5s,g")
     ap.add_argument("--tris5", type=int, default=None,
                     help="override config-5 triangle count")
     ap.add_argument("--size5", default=None,
@@ -220,6 +274,16 @@ def main():
                 json.dumps(results, indent=1) + "\n")
 
     for c in args.configs.split(","):
+        if c == "g":
+            try:
+                r = flagship_golden()
+            except Exception as e:
+                r = {"config": "flagship_1080p_golden",
+                     "psnr_error": str(e)[:500]}
+            results.append(r)
+            flush()
+            print(json.dumps(r), flush=True)
+            continue
         if c == "5s":
             try:
                 r = bench_config5_sharded(*build5())

@@ -20,6 +20,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from benchmarks import configs as cfgs

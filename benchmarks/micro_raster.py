@@ -12,6 +12,8 @@ import pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from metalrenderer_tpu.config import RenderConfig

@@ -36,7 +36,30 @@ print(np.asarray(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))
 #    round 2; c1 was 956s before the round-5 mip restructure);
 #    --out is rewritten after every row.
 step 10_bench_all_1234 10000 python benchmarks/bench_all.py \
-  --configs 2,4,3,1 --out benchmarks/results_r05.json
+  --configs 2,4,g,3,1 --out benchmarks/results_r05.json
+
+# 1b. Config-1 again with the now-warm persistent compile cache
+#     (utils/compile_cache.py): step 10's cold run wrote the cache
+#     entries, so this records the serving-configuration compile time
+#     (VERDICT r4 item 4 target: < 60 s). Merged as config "1_warmcache"
+#     so the cold number in the main row stays honest.
+step 11_c1_warm 2400 python benchmarks/bench_all.py --configs 1 \
+  --out "$LOGDIR/results_c1_warm.json"
+python - "$LOGDIR" <<'EOF'
+import json, pathlib, sys
+logdir = pathlib.Path(sys.argv[1])
+main = pathlib.Path("benchmarks/results_r05.json")
+warm = logdir / "results_c1_warm.json"
+if main.exists() and warm.exists():
+    rows = json.loads(main.read_text())
+    rows = [r for r in rows if r.get("config") != "1_warmcache"]
+    for r in json.loads(warm.read_text()):
+        if r.get("config") == 1:
+            r["config"] = "1_warmcache"
+            rows.append(r)
+    main.write_text(json.dumps(rows, indent=1) + "\n")
+    print("merged warm config-1 row")
+EOF
 
 # 2. Headline bench, both shapes (flip default to the winner).
 step 20_bench_scan  3000 python bench.py

@@ -216,6 +216,20 @@ def cmd_analyze(args):
             "brightness": float(ctxs.brightness[i]),
             "melancholy": float(ctxs.melancholy[i]),
         }))
+    if args.dashboard:
+        # PNG dashboard per chunk (SURVEY §5: the ImGui spectrum/band
+        # panel as images; utils/dashboard.py).
+        import pathlib
+
+        from .io import png as png_mod
+        from .utils import dashboard
+        out = pathlib.Path(args.dashboard)
+        out.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = dashboard.render_result_dashboard(
+                res, i, context=ctxs, sample_rate=float(rate))
+            png_mod.write_png(out / f"dash_{i:05d}.png", img)
+        print(f"wrote {n} dashboards to {out}", file=sys.stderr)
 
 
 def cmd_session(args):
@@ -310,12 +324,17 @@ def main(argv=None):
 
     p = sub.add_parser("analyze", help="audio feature telemetry (JSON lines)")
     p.add_argument("--wav", required=True)
+    p.add_argument("--dashboard", default=None, metavar="DIR",
+                   help="also render a PNG telemetry dashboard per chunk "
+                        "(the ImGui overlay panel as images)")
     p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     return args.fn(args)
 
 

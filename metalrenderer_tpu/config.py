@@ -69,6 +69,14 @@ class RenderConfig:
     # (guard-band reject; the reference relies on HW clipping which this
     # framework approximates — SURVEY.md §7 risk list).
     near_eps: float = 1e-6
+    # True x/y guard-band clipping (raster/geometry.py guard_clip_xy):
+    # triangles with a vertex beyond guard_band_px screen pixels are
+    # homogeneously clipped to the guard box (exact, like Metal's HW
+    # clipper); up to xyclip_capacity such triangles per frame, overflow
+    # counted in stats (beyond-cap triangles fall back to the f32
+    # precision envelope, exact to ~5e5 px). 0 capacity disables.
+    guard_band_px: float = 32768.0
+    xyclip_capacity: int = 64
 
     def __post_init__(self):
         # Reject unsupported sample counts at CONSTRUCTION, not first

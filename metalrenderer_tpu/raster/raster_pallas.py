@@ -40,9 +40,10 @@ Design (TPU-first; see binning.py for the data-layout contract):
     reference's depth state (mtl_engine.mm:436-439). Within a chunk the
     max tid among z == zmin wins; across chunks `zmin <= zbuf` lets later
     chunks win ties; per-tile entry lists ascend in submission order.
-    Big triangles (span > cap) run after a subtile's binned list — same-z
-    ties between a big and a small triangle are the one documented
-    deviation.
+    Big triangles (span > cap) run after a subtile's binned list but
+    compare against the in-register winner tid on EQUAL z, so cross-
+    class ties also resolve in exact submission order (the round-4
+    documented deviation is closed).
 
 Mosaic constraints encoded here (each cost a probe to find): no
 broadcast-layout gather operands, no i1 vreg concats, 128-lane-aligned
@@ -534,12 +535,20 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                         )
                         ok = cov & (zv >= 0.0) & (zv <= 1.0)
                         zb = outs[0][:, pl.ds(lane_off, p8w)]
-                        take = ok & (zv <= zb)
+                        wb = outs[1][:, pl.ds(lane_off, p8w)]
+                        # SUBMISSION-ORDER exact ties (mtl_engine.mm:
+                        # 436-439): although the big list runs after the
+                        # binned walk, an EQUAL-z pixel only flips to
+                        # this triangle if its tid is LATER than the
+                        # current winner's — the winner register makes
+                        # cross-class tie order exact (closes the r4
+                        # documented deviation).
+                        tid_i = tid.astype(jnp.int32)
+                        take = ok & ((zv < zb) | ((zv == zb) & (tid_i > wb)))
                         outs[0][:, pl.ds(lane_off, p8w)] = \
                             jnp.where(take, zv, zb)
                         outs[1][:, pl.ds(lane_off, p8w)] = jnp.where(
-                            take, tid.astype(jnp.int32),
-                            outs[1][:, pl.ds(lane_off, p8w)])
+                            take, tid_i, wb)
 
                         if with_attrs and attr_px:
                             big_attr_px(t, take, sub, lane_off, ox)

@@ -96,3 +96,165 @@ def test_clipped_area_matches_analytic():
                            [0, 3, 0.5, 1]]], np.float32)
     frac_full = _area_fraction(clip_full)
     assert frac_full == 1.0
+
+
+# ---------------------------------------------------------------------------
+# True x/y guard-band clipping (geometry.guard_clip_xy, VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+from metalrenderer_tpu.raster.geometry import guard_clip_xy  # noqa: E402
+
+W, H = 128, 64
+
+
+def _screen_tri(screen, z=0.5, w=1.0):
+    """Clip-space triangle landing at the given screen coords."""
+    screen = np.asarray(screen, np.float64)
+    ndc_x = screen[..., 0] / (0.5 * W) - 1.0
+    ndc_y = 1.0 - screen[..., 1] / (0.5 * H)
+    w = np.broadcast_to(np.float64(w), ndc_x.shape)
+    z = np.broadcast_to(np.float64(z), ndc_x.shape)
+    return np.stack([ndc_x * w, ndc_y * w, z * w, w], -1).astype(np.float32)
+
+
+def _winner(clip2, cull=False):
+    s = setup_triangles(jnp.asarray(clip2), W, H, cull_backfaces=cull)
+    _, win = reference_cpu.rasterize_brute_force(s, W, H, CENTER)
+    return np.asarray(win[0])
+
+
+def test_guard_clip_noop_within_guard():
+    """In-guard triangles pass through untouched; appended slots dead."""
+    clip = _screen_tri([[[10, 10], [100, 12], [40, 60]]])
+    parent = jnp.arange(1, dtype=jnp.int32)
+    out, _, parent2, stats = guard_clip_xy(
+        jnp.asarray(clip), None, parent, W, H, cap=4, guard_px=256.0)
+    assert out.shape == (1 + 1 * 5, 3, 4)   # cap clamps to T
+    np.testing.assert_array_equal(np.asarray(out[0]), clip[0])
+    assert int(stats["xyclip_triangles"]) == 0
+    assert int(stats["xyclip_dropped"]) == 0
+    # Appended fan slots are degenerate.
+    assert not np.asarray(
+        setup_triangles(out, W, H).valid[1:]).any()
+    assert list(np.asarray(parent2[:1])) == [0]
+
+
+def test_guard_clip_pieces_cover_exactly_the_original():
+    """At moderately-oversize coordinates (where the f32 envelope is
+    still proven exact) the clipped pieces must produce the SAME
+    coverage as the unclipped triangle — piece edges land where the
+    original's did, and the cut edges are seam-free."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        v_on = rng.uniform([10, 5], [W - 10, H - 5], (1, 2))
+        ang = rng.uniform(0, 2 * np.pi, (2,))
+        dist = rng.uniform(2e3, 3e4, (2,))
+        v_off = v_on + np.stack([np.cos(ang) * dist,
+                                 np.sin(ang) * dist], -1)
+        screen = np.concatenate([v_on, v_off])[None]
+        clip = _screen_tri(screen)
+        win_ref = _winner(clip)
+
+        parent = jnp.arange(1, dtype=jnp.int32)
+        out, _, _, stats = guard_clip_xy(
+            jnp.asarray(clip), None, parent, W, H, cap=4, guard_px=1000.0)
+        assert int(stats["xyclip_triangles"]) == 1
+        win_clip = _winner(out)
+        # Same covered set (winner ids differ: pieces live in new slots).
+        mismatch = int(((win_ref >= 0) != (win_clip >= 0)).sum())
+        assert mismatch == 0, (trial, mismatch)
+        # Every surviving vertex is inside the guard box.
+        s = setup_triangles(out, W, H, cull_backfaces=False)
+        valid = np.asarray(s.valid)
+        coords = np.abs(np.asarray(s.screen))[valid]
+        assert coords.max() <= 1000.0 + W / 2 + 2, coords.max()
+
+
+def test_guard_clip_extreme_coordinates_match_f64_oracle():
+    """FAR beyond the f32 envelope (1e8 px) the clipped path must match
+    an f64 coverage oracle away from edges — the capability the
+    envelope could not provide (VERDICT r4 missing #3)."""
+    rng = np.random.default_rng(11)
+    T = 16
+    v_on = rng.uniform([10, 5], [W - 10, H - 5], (T, 1, 2))
+    ang = rng.uniform(0, 2 * np.pi, (T, 2))
+    dist = rng.uniform(1e7, 1e8, (T, 2))
+    v_off = v_on + np.stack([np.cos(ang) * dist, np.sin(ang) * dist], -1)
+    screen = np.concatenate([v_on, v_off], axis=1)
+    clip = _screen_tri(screen)
+
+    parent = jnp.arange(T, dtype=jnp.int32)
+    out, _, _, stats = guard_clip_xy(
+        jnp.asarray(clip), None, parent, W, H, cap=T, guard_px=2048.0)
+    assert int(stats["xyclip_triangles"]) == T
+    win = _winner(out)
+
+    # f64 oracle on the ORIGINAL triangles, margin > 0.1 px from edges.
+    py, px = np.mgrid[0:H, 0:W].astype(np.float64) + 0.5
+    px, py = px.ravel(), py.ravel()
+    v0, v1, v2 = screen[:, 0], screen[:, 1], screen[:, 2]
+
+    def edge(a, b):
+        return ((b[:, None, 0] - a[:, None, 0]) * (py[None] - a[:, None, 1])
+                - (b[:, None, 1] - a[:, None, 1]) * (px[None] - a[:, None, 0]))
+
+    e0, e1, e2 = edge(v0, v1), edge(v1, v2), edge(v2, v0)
+    cov64 = ((e0 > 0) & (e1 > 0) & (e2 > 0)) | \
+            ((e0 < 0) & (e1 < 0) & (e2 < 0))
+
+    def dist_px(e, a, b):
+        ln = np.hypot(b[:, None, 0] - a[:, None, 0],
+                      b[:, None, 1] - a[:, None, 1])
+        return np.abs(e) / np.maximum(ln, 1e-30)
+
+    margin = np.minimum(np.minimum(dist_px(e0, v0, v1),
+                                   dist_px(e1, v1, v2)),
+                        dist_px(e2, v2, v0)).min(axis=0)
+    cov_any = cov64.any(axis=0)
+    safe = margin > 0.1
+    got = (win.ravel() >= 0)
+    bad = int((got[safe] != cov_any[safe]).sum())
+    assert bad == 0, bad
+
+
+def test_guard_clip_overflow_counted_and_original_kept():
+    """Cap overflow: the beyond-cap triangle stays UNCLIPPED in place
+    (envelope fallback — still renders) and the drop is counted."""
+    tris = _screen_tri(np.stack([
+        [[10, 10], [5e4, 12], [40, 60]],      # oversize A
+        [[20, 20], [12, 5e4], [90, 40]],      # oversize B
+    ]))
+    parent = jnp.arange(2, dtype=jnp.int32)
+    out, _, _, stats = guard_clip_xy(
+        jnp.asarray(tris), None, parent, W, H, cap=1, guard_px=1000.0)
+    assert int(stats["xyclip_triangles"]) == 1
+    assert int(stats["xyclip_dropped"]) == 1
+    win = _winner(out)
+    covered_ids = set(np.unique(win[win >= 0]))
+    # Slot 1 (the kept original) still wins pixels directly.
+    assert 1 in covered_ids
+    # Slot 0 was killed; its pixels come from appended fan slots (>= 2).
+    assert 0 not in covered_ids
+    assert any(i >= 2 for i in covered_ids)
+
+
+def test_guard_clip_interpolates_attributes_exactly():
+    """Cut vertices carry attributes cut by the same clip-space
+    parameter: the pieces' perspective-correct attribute planes equal
+    the parent's (same geometric plane)."""
+    from metalrenderer_tpu.raster.geometry import attribute_planes
+    screen = np.array([[[30, 20], [2e4, 100], [60, 3e3]]])
+    clip = _screen_tri(screen, w=np.array([[1.0, 20.0, 3.0]]))
+    attrs = jnp.asarray(
+        np.array([[[1, 0, 0], [0, 1, 0], [0, 0, 1]]], np.float32))
+    parent = jnp.arange(1, dtype=jnp.int32)
+    out, attrs2, _, _ = guard_clip_xy(
+        jnp.asarray(clip), attrs, parent, W, H, cap=2, guard_px=500.0)
+    s = setup_triangles(out, W, H, cull_backfaces=False)
+    planes = np.asarray(attribute_planes(s, attrs2))     # [N, 3, 3]
+    sp = setup_triangles(jnp.asarray(clip), W, H, cull_backfaces=False)
+    ref_planes = np.asarray(attribute_planes(sp, attrs))[0]
+    valid = np.asarray(s.valid)
+    assert valid.sum() >= 2          # clipped into multiple pieces
+    for i in np.nonzero(valid)[0]:
+        np.testing.assert_allclose(planes[i], ref_planes,
+                                   rtol=2e-3, atol=2e-5)

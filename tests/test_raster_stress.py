@@ -92,16 +92,15 @@ def test_guard_band_extreme_offscreen_vertices():
         assert bad == 0, (name, bad)
 
 
-def test_big_triangle_tiebreak_documented_order():
-    """Pin the documented deviation (raster_pallas.py module docstring):
-    big-list triangles run AFTER the binned list, so at EQUAL depth a big
-    triangle wins against a small one regardless of submission order.
+def test_big_triangle_tiebreak_submission_order():
+    """Exact SUBMISSION-ORDER ties across the big/binned class boundary
+    (VERDICT r4 item 7 — the r2-r4 documented deviation, now closed):
+    at bit-equal depth the LATER-submitted triangle wins, whether it is
+    the big-list or the binned one (mtl_engine.mm:436-439 LessEqual).
 
     z = 0 makes every z-plane coefficient EXACTLY zero (all einsum terms
-    vanish), the only way to construct a bit-exact cross-class depth tie
-    — with any other coplanar geometry the two triangles' z planes round
-    differently and no true tie occurs (which is why this deviation is
-    benign in practice)."""
+    vanish) — the cleanest way to construct a bit-exact cross-class
+    depth tie."""
     z = 0.0
     w = 1.0
     # Small: fits ONE tile (span 1 <= cap 2). Big: spans all 8 tile rows
@@ -109,8 +108,7 @@ def test_big_triangle_tiebreak_documented_order():
     small = np.array([[[20, 10], [40, 10], [20, 14]]], np.float64)
     big = np.array([[[-10, -10], [3 * W, -10], [-10, 3 * H]]], np.float64)
 
-    for order, small_idx, big_idx in [((small, big), 0, 1),
-                                      ((big, small), 1, 0)]:
+    for order, later_idx in [((small, big), 1), ((big, small), 1)]:
         screen = np.concatenate(order, axis=0)
         clip = _clip_from_screen(screen.astype(np.float32),
                                  np.full((2, 3), z, np.float32),
@@ -121,12 +119,15 @@ def test_big_triangle_tiebreak_documented_order():
         _, winner, _, _ = rasterize_tiles(
             setup, W, H, 8, 128, SAMPLES, span_cap=2, big_capacity=256)
         win = np.asarray(winner[0])
+        big_idx = 1 if order[1] is big else 0
         # A pixel covered by both at identical (exact-tie) depth: the
-        # big-list triangle wins regardless of submission order.
-        assert win[11, 25] == big_idx, (win[11, 25], big_idx)
+        # LATER-SUBMITTED triangle wins regardless of class.
+        assert win[11, 25] == later_idx, (win[11, 25], later_idx)
         # A pixel covered only by the big triangle.
         assert win[50, 100] == big_idx
-        del small_idx
+        # And the brute-force reference agrees pixel-for-pixel.
+        _, win_b = rasterize_brute_force(setup, W, H, SAMPLES)
+        np.testing.assert_array_equal(win, np.asarray(win_b[0]))
 
 
 def test_guard_band_4k_artifact():
@@ -143,11 +144,11 @@ def test_guard_band_4k_artifact():
 
     import pytest
 
-    art = (pathlib.Path(__file__).parent.parent / "benchmarks"
-           / "stress4k_r04.json")
-    if not art.exists():
+    arts = sorted((pathlib.Path(__file__).parent.parent / "benchmarks")
+                  .glob("stress4k_r*.json"))
+    if not arts:
         pytest.skip("no committed 4K envelope artifact yet")
-    rec = json.loads(art.read_text())
+    rec = json.loads(arts[-1].read_text())
     assert rec["width"] == 3840 and rec["height"] == 2160
     assert rec["max_offscreen_px"] >= 1e6, rec["max_offscreen_px"]
     assert rec["mismatches"] == 0, rec
@@ -155,3 +156,37 @@ def test_guard_band_4k_artifact():
     assert rec["oracle_covered_safe_px"] > 1000
     assert rec["oracle_uncovered_safe_px"] > 1000
     assert rec["ok"] is True
+
+
+def test_big_vs_binned_samez_property():
+    """Property test (VERDICT r4 item 7): random mixes of binned and
+    big-list triangles ALL at the exact-tie plane z=0 — the Pallas
+    kernel must equal the brute-force reference pixel-for-pixel, i.e.
+    every cross-class tie resolves in submission order."""
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        T = 12
+        tris = []
+        for i in range(T):
+            if rng.random() < 0.3:
+                # Big: spans most of the screen (goes to the big list).
+                c = rng.uniform([0, 0], [W, H])
+                tris.append([c + [-2 * W, -2 * H], c + [3 * W, 0],
+                             c + [0, 3 * H]])
+            else:
+                c = rng.uniform([5, 5], [W - 5, H - 5])
+                r = rng.uniform(3, 12)
+                a = rng.uniform(0, 2 * np.pi, 3)
+                tris.append([c + [np.cos(t) * r, np.sin(t) * r]
+                             for t in a])
+        screen = np.asarray(tris, np.float64)
+        clip = _clip_from_screen(screen.astype(np.float32),
+                                 np.zeros((T, 3), np.float32),
+                                 np.ones((T, 3), np.float32))
+        setup = setup_triangles(jnp.asarray(clip), W, H,
+                                cull_backfaces=False)
+        _, winner_k, _, _ = rasterize_tiles(
+            setup, W, H, 8, 128, SAMPLES, span_cap=2, big_capacity=256)
+        _, winner_b = rasterize_brute_force(setup, W, H, SAMPLES)
+        np.testing.assert_array_equal(np.asarray(winner_k),
+                                      np.asarray(winner_b), err_msg=str(trial))

@@ -49,6 +49,32 @@ def _load():
     return rnd, path, json.loads(path.read_text())
 
 
+def test_flagship_1080p_golden_on_tpu():
+    """On-hardware golden at REAL resolution (VERDICT r4 item 8): the
+    flagship scene's full-res 1080p PSNR row (bench_all ``g`` step)
+    must exist in every r05+ record and clear the 40 dB bar; if a
+    checksum pin is committed (tests/goldens/flagship_1080p_sha.txt),
+    the rendered image hash must match it — any TPU-side rendering
+    change flips the suite red until the pin is re-blessed."""
+    rnd, path, rows_all = _load()
+    rows = [r for r in rows_all
+            if r.get("config") == "flagship_1080p_golden"]
+    if not rows and rnd < 5:
+        pytest.skip("flagship golden row absent from pre-r5 record")
+    assert rows, (f"flagship_1080p_golden missing from {path.name} — "
+                  f"required for every results_r05+ sweep")
+    row = rows[0]
+    assert "psnr_vs_reference_db" in row, row.get("psnr_error", row)
+    assert row["psnr_scale"] == "1920x1080"
+    assert row["psnr_vs_reference_db"] >= BAR_DB, row
+    pin = (pathlib.Path(__file__).parent / "goldens"
+           / "flagship_1080p_sha.txt")
+    if pin.exists():
+        assert row["checksum_sha256_u8"] == pin.read_text().strip(), (
+            "flagship 1080p image hash changed on TPU — re-bless the "
+            "pin only after inspecting the rendered output")
+
+
 @pytest.mark.parametrize("config_idx", [1, 2, 3, 4, 5])
 def test_config_psnr_vs_reference_on_tpu(config_idx):
     rnd, path, rows_all = _load()

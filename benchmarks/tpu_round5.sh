@@ -69,8 +69,22 @@ step 21_bench_batch 3000 python bench.py --batch
 step 30_stress4k 2400 python benchmarks/stress_4k_envelope.py \
   --out benchmarks/stress4k_r05.json
 
-# 4. Config-1 compile attribution (validates the mip restructure).
-step 40_mip_compile 2400 python benchmarks/mip_compile_probe.py
+# 4. Config-1 compile attribution. COLD cache dir so the attribution
+#    is not polluted by step 10's entries (symmetric with step 41).
+step 40_mip_compile 2400 env METALRENDERER_CACHE_DIR=/tmp/r5_gather_cache \
+  python benchmarks/mip_compile_probe.py
+
+# 4b. A/B the one-hot-matmul mip bilinear (METALRENDERER_MIP_IMPL=
+#     matmul): Mosaic compilability + compile-time + runtime vs the
+#     gather default, AFTER the main sweep so its rows are never at
+#     risk. If compile_s drops and PSNR holds, flip the default.
+step 41_mip_matmul_probe 2400 env METALRENDERER_MIP_IMPL=matmul \
+  METALRENDERER_CACHE_DIR=/tmp/r5_matmul_cache \
+  python benchmarks/mip_compile_probe.py
+step 42_c1_matmul 2400 env METALRENDERER_MIP_IMPL=matmul \
+  METALRENDERER_CACHE_DIR=/tmp/r5_matmul_cache \
+  python benchmarks/bench_all.py --configs 1 \
+  --out "$LOGDIR/results_c1_matmul.json"
 
 # 5. Config-5 compile ladder: 250k must pass before 1M.
 if step 50_attrib_250k 1800 python benchmarks/compile_attrib.py \

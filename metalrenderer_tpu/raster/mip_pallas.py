@@ -82,8 +82,78 @@ def build_pyramid(mips, address_mode=REPEAT, channels=3):
     return jnp.stack(levels), tuple(sizes)
 
 
-def _make_kernel(n_levels, nt, channels):
+def _impl():
+    """Bilinear in-window gather implementation.
+
+    "gather" (default): the round-3 lane/sublane take_along_axis
+    pyramid — TPU-proven through the r2 sweep's kernels of the same
+    family.
+    "matmul" (opt-in, METALRENDERER_MIP_IMPL=matmul): one-hot MXU
+    matmul gathers + mask-reduce y compose (see _make_kernel) — ~4x
+    fewer unrolled vector ops per level visit, built to attack the
+    956 s config-1 remote Mosaic compile (results_r02.json) that no
+    CPU probe reproduces (~20 s locally). Selection by one-hot f32
+    matmul is EXACT (single nonzero product per output; the bf16x3
+    3-way split sums back to the f32 value bit-exactly), so interpret
+    goldens are unchanged. Kept opt-in until a real-TPU A/B
+    (tpu_round5.sh) confirms Mosaic compiles it and the numbers.
+    """
+    import os
+    return os.environ.get("METALRENDERER_MIP_IMPL", "gather")
+
+
+def _make_kernel(n_levels, nt, channels, impl="gather"):
     lf_max = float(n_levels - 1)
+    use_matmul = impl == "matmul"
+
+    def bilinear_stacked(win3, c0, r0, fx, fy):
+        """All-channel bilinear via one-hot matmul gathers.
+
+        win3: f32[channels*MWIN_H, MWIN_W] channel-stacked window;
+        c0/r0: i32[8,128] window-relative tap origins; fx/fy: f32[8,128].
+        Returns a tuple of ``channels`` f32[8,128] planes.
+
+        Per framebuffer row r: the x gather for ALL window rows and ALL
+        channels is ONE [3H, W] @ [W, 128] matmul against the one-hot
+        column selector (exact selection — one nonzero product per
+        output, no accumulation rounding); the y pick is a mask-multiply
+        + per-channel 32-row reduction instead of 16 sublane gathers.
+        The x/y lerps stay on the VPU in the same expression order as
+        the gather path, so both implementations round identically.
+        """
+        h3 = channels * MWIN_H
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (MWIN_W, TILE_W), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (h3, TILE_W), 0) \
+            % MWIN_H
+        out_rows = [[] for _ in range(channels)]
+        for r in range(TILE_H):
+            c0r = c0[r:r + 1, :]                      # [1,128]
+            r0r = r0[r:r + 1, :]
+            e0 = (iota_c == c0r).astype(jnp.float32)  # [MWIN_W,128]
+            e1 = (iota_c == c0r + 1).astype(jnp.float32)
+            xg0 = jnp.dot(win3, e0,
+                          preferred_element_type=jnp.float32)  # [3H,128]
+            xg1 = jnp.dot(win3, e1,
+                          preferred_element_type=jnp.float32)
+            m0 = (iota_w == r0r).astype(jnp.float32)  # [3H,128]
+            m1 = (iota_w == r0r + 1).astype(jnp.float32)
+
+            def pick(xg, m):
+                s = xg * m
+                return [jnp.sum(s[c * MWIN_H:(c + 1) * MWIN_H], axis=0,
+                                keepdims=True) for c in range(channels)]
+
+            t00 = pick(xg0, m0)
+            t01 = pick(xg0, m1)
+            t10 = pick(xg1, m0)
+            t11 = pick(xg1, m1)
+            fxr = fx[r:r + 1, :]
+            fyr = fy[r:r + 1, :]
+            for c in range(channels):
+                top = t00[c] * (1.0 - fxr) + t10[c] * fxr
+                bot = t01[c] * (1.0 - fxr) + t11[c] * fxr
+                out_rows[c].append(top * (1.0 - fyr) + bot * fyr)
+        return tuple(jnp.concatenate(rows, axis=0) for rows in out_rows)
 
     def bilinear_window(win2d, c0, r0, fx, fy):
         """win2d: [MWIN_H, MWIN_W]; c0/r0 i32[8,128] window-relative tap
@@ -159,6 +229,12 @@ def _make_kernel(n_levels, nt, channels):
             lfl = l.astype(jnp.float32)
             wpx = msk * ((1.0 - frac) * (l0 == lfl).astype(jnp.float32)
                          + frac * (hi == lfl).astype(jnp.float32))
+            if use_matmul:
+                vals = bilinear_stacked(
+                    win[...].reshape(channels * MWIN_H, MWIN_W),
+                    c0, r0, fx, fy)
+                return tuple(acc[c] + wpx * vals[c]
+                             for c in range(channels))
             return tuple(
                 acc[c] + wpx * bilinear_window(win[c], c0, r0, fx, fy)
                 for c in range(channels))
@@ -174,9 +250,9 @@ def _make_kernel(n_levels, nt, channels):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_levels", "sizes", "ph", "pw",
-                                    "channels"))
+                                    "channels", "impl"))
 def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
-                   channels=3):
+                   channels=3, impl="gather"):
     """u, v, lodc, maskf: f32[B, Hp, Wp] (tile-padded). Returns
     f32[B, channels, Hp, Wp]."""
     b, hp, wp = u.shape
@@ -246,7 +322,7 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
     lw = jnp.asarray([s[1] for s in sizes], jnp.int32)
     lh = jnp.asarray([s[0] for s in sizes], jnp.int32)
 
-    kernel = _make_kernel(L, nt, channels)
+    kernel = _make_kernel(L, nt, channels, impl=impl)
     blk = lambda: pl.BlockSpec(
         (None, TILE_H, TILE_W),
         lambda i, *_: (i // nt, (i % nt) // ntx, (i % nt) % ntx))
@@ -314,7 +390,7 @@ def sample_pyramid_tiled(mips, u, v, lod, mask, address_mode=REPEAT,
 
     out = _sample_padded(pyramid, u, v, lodc, maskf,
                          n_levels=L, sizes=sizes, ph=ph, pw=pw,
-                         channels=channels)
+                         channels=channels, impl=_impl())
     out = out[:, :, :h, :w]
     if squeeze:
         return tuple(out[0, c] for c in range(channels))

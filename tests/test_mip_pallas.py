@@ -123,3 +123,39 @@ def test_batched_sample_grids():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(r[1]), np.asarray(ref1[..., 0]),
                                atol=1e-6)
+
+
+def test_matmul_impl_matches_gather_impl():
+    """The opt-in one-hot-matmul bilinear (METALRENDERER_MIP_IMPL=matmul,
+    built to attack the 956 s config-1 remote Mosaic compile) must
+    reproduce the gather implementation: selection is mathematically
+    exact in both, so results agree to <= 1 ULP (FMA contraction of the
+    shared lerp differs between the two compiled programs)."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    mips = []
+    s = 32
+    while True:
+        mips.append(jnp.asarray(rng.random((s, s, 4)), jnp.float32))
+        if s == 1:
+            break
+        s //= 2
+    shape = (24, 140)
+    u = jnp.asarray(rng.random(shape), jnp.float32)
+    v = jnp.asarray(rng.random(shape), jnp.float32)
+    lod = jnp.asarray(rng.random(shape) * 2.5, jnp.float32)
+    mask = jnp.asarray(rng.random(shape) > 0.2)
+
+    assert "METALRENDERER_MIP_IMPL" not in os.environ
+    ref = sample_pyramid_tiled(mips, u, v, lod, mask)
+    os.environ["METALRENDERER_MIP_IMPL"] = "matmul"
+    try:
+        new = sample_pyramid_tiled(mips, u, v, lod, mask)
+    finally:
+        del os.environ["METALRENDERER_MIP_IMPL"]
+    for a, b in zip(ref, new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1.2e-7, rtol=0)

@@ -35,7 +35,7 @@ enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 
-from metalrenderer_tpu.raster.geometry import setup_triangles
+from metalrenderer_tpu.raster.geometry import guard_clip_xy, setup_triangles
 from metalrenderer_tpu.raster.raster_pallas import rasterize_tiles
 
 SAMPLES = ((0.5, 0.5),)
@@ -137,6 +137,41 @@ def main():
     kernel_cov = (winner[gy.ravel(), gx.ravel()] >= 0)
     mism = int(np.sum(kernel_cov[safe] != cov64[safe]))
 
+    # --- Phase 2 (round 5): the PRODUCTION path — true x/y guard-band
+    # clipping (geometry.guard_clip_xy) ahead of the same raster. Proof:
+    # identical oracle coverage AND every surviving vertex inside the
+    # 32768 px guard box (the raw-envelope reliance is gone).
+    @jax.jit
+    def raster_clipped(clip):
+        parent = jnp.arange(clip.shape[0], dtype=jnp.int32)
+        clip2, _, _, gstats = guard_clip_xy(
+            clip, None, parent, W, H, cap=clip.shape[0],
+            guard_px=32768.0)
+        setup = setup_triangles(clip2, W, H, cull_backfaces=False)
+        _, winner, _, _ = rasterize_tiles(
+            setup, W, H, 8, 128, SAMPLES, span_cap=8, big_capacity=512)
+        max_coord = jnp.max(jnp.where(setup.valid[:, None, None],
+                                      jnp.abs(setup.screen), 0.0))
+        return (winner[0], gstats["xyclip_triangles"],
+                gstats["xyclip_dropped"], max_coord)
+
+    t0 = time.perf_counter()
+    winner_c, n_clipped, n_dropped, max_coord = raster_clipped(
+        jnp.asarray(clip))
+    winner_c = np.asarray(winner_c)
+    clipped_elapsed = time.perf_counter() - t0
+    kernel_cov_c = (winner_c[gy.ravel(), gx.ravel()] >= 0)
+    mism_c = int(np.sum(kernel_cov_c[safe] != cov64[safe]))
+    guard_rec = {
+        "clipped_triangles": int(n_clipped),
+        "dropped": int(n_dropped),
+        "max_screen_coord": float(max_coord),
+        "mismatches": mism_c,
+        "raster_s": round(clipped_elapsed, 1),
+        "ok": (mism_c == 0 and int(n_dropped) == 0
+               and float(max_coord) <= 32768.0 + W / 2 + 2),
+    }
+
     result = {
         "width": W, "height": H, "triangles": int(args.tris),
         "max_offscreen_px": float(np.max(np.abs(screen))),
@@ -145,8 +180,10 @@ def main():
         "oracle_covered_safe_px": int(cov64[safe].sum()),
         "oracle_uncovered_safe_px": int((~cov64[safe]).sum()),
         "mismatches": mism,
+        "guard_clip": guard_rec,
         "ok": (mism == 0 and int(cov64[safe].sum()) > 1000
-               and int((~cov64[safe]).sum()) > 1000),
+               and int((~cov64[safe]).sum()) > 1000
+               and guard_rec["ok"]),
         "raster_s": round(elapsed, 1),
     }
     print(json.dumps(result))

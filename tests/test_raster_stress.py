@@ -156,6 +156,11 @@ def test_guard_band_4k_artifact():
     assert rec["oracle_covered_safe_px"] > 1000
     assert rec["oracle_uncovered_safe_px"] > 1000
     assert rec["ok"] is True
+    if "guard_clip" in rec:   # r5+ artifacts: the production clipped path
+        g = rec["guard_clip"]
+        assert g["mismatches"] == 0 and g["dropped"] == 0
+        assert g["max_screen_coord"] <= 32768.0 + rec["width"] / 2 + 2
+        assert g["ok"] is True
 
 
 def test_big_vs_binned_samez_property():

@@ -32,6 +32,8 @@ WIDTH, HEIGHT = 1920, 1080
 TARGET_MPIX_S = 1000.0  # north star: 1 Gpixel shaded/s/chip
 FRAMES = 128
 REPS = 3
+if os.environ.get("BENCH_SMOKE"):   # CI flow check at toy scale
+    WIDTH, HEIGHT, FRAMES, REPS = 128, 64, 2, 1
 METRIC = "audio_app_1080p_msaa4_two_pass_pixels_shaded"
 # Last driver-verified flagship number (BENCH_r02.json, real TPU).
 LAST_VERIFIED_MPIX_S = 98.27
@@ -75,35 +77,20 @@ def _probe_backend():
     return True, r.stdout.strip()
 
 
-def _run():
+def _measure_shape(shape_name, scene, camera, lighting, config):
+    """Compile + time one serving shape; returns a result dict."""
     import jax
     import jax.numpy as jnp
 
-    from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
-
-    from metalrenderer_tpu.config import RenderConfig, ShadowConfig
-    from metalrenderer_tpu.engine import audio_app
-    from metalrenderer_tpu.scene.camera import OrbitCamera
-    from metalrenderer_tpu.scene.lights import Lighting
+    from metalrenderer_tpu.config import ShadowConfig
     from metalrenderer_tpu.passes.pipeline import (render_frame,
                                                    render_frame_batch_fused)
     from metalrenderer_tpu.utils import profiling
 
-    config = RenderConfig(width=WIDTH, height=HEIGHT, msaa=4,
-                          shadow_map_size=1024)
-    camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2,
-                         aspect=WIDTH / HEIGHT)
-    scene = audio_app.build_scene()
-    lighting = Lighting.default()
-
     # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
     # large device arrays embeds them as HLO constants, which this
     # platform's remote compile helper chokes on at scale.
-    # Default = the proven per-frame scan shape; --batch opts into the
-    # frame-folded two-launch serving shape (flip the default once its
-    # real-TPU compile/runtime is recorded).
-    if "--batch" not in sys.argv:
+    if shape_name == "per_frame_scan":
         # One scan step + two kernel launches per frame.
         @jax.jit
         def run_batch(scene, camera, lighting, disps, thetas):
@@ -116,7 +103,7 @@ def _run():
             total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
             return total, means
     else:
-        # Serving shape (--batch): the WHOLE batch in two kernel
+        # Frame-folded serving shape: the WHOLE batch in two kernel
         # launches (batched shadow pass + frame-folded fused
         # raster/shade grid), prep and binning vectorized across frames.
         @jax.jit
@@ -148,17 +135,69 @@ def _run():
         best = min(best, sec)
 
     fps = FRAMES / best
-    mpix_s = fps * WIDTH * HEIGHT / 1e6
+    return {"shape": shape_name, "fps": fps,
+            "mpix_s": fps * WIDTH * HEIGHT / 1e6,
+            "first_call_s": first_call_s, "checksum": float(total)}
+
+
+def _run():
+    import jax
+
+    from metalrenderer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from metalrenderer_tpu.config import RenderConfig
+    from metalrenderer_tpu.engine import audio_app
+    from metalrenderer_tpu.scene.camera import OrbitCamera
+    from metalrenderer_tpu.scene.lights import Lighting
+
+    config = RenderConfig(
+        width=WIDTH, height=HEIGHT, msaa=4,
+        shadow_map_size=128 if os.environ.get("BENCH_SMOKE") else 1024)
+    camera = OrbitCamera(radius=5.0, theta=2.5, phi=1.2,
+                         aspect=WIDTH / HEIGHT)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+
+    # Measure BOTH serving shapes and report the better one, so the
+    # recorded headline never depends on a hand-flipped default
+    # (`--scan` / `--batch` pin a single shape). The scan shape is the
+    # TPU-proven one, so it runs first; the frame-folded shape may fail
+    # without losing the capture.
+    if "--batch" in sys.argv:
+        shapes = ["frame_folded"]
+    elif "--scan" in sys.argv:
+        shapes = ["per_frame_scan"]
+    else:
+        shapes = ["per_frame_scan", "frame_folded"]
+
+    results = []
+    for s in shapes:
+        try:
+            results.append(_measure_shape(s, scene, camera, lighting,
+                                          config))
+        except Exception as exc:  # noqa: BLE001
+            print(f"# shape {s} failed: {type(exc).__name__}: "
+                  f"{str(exc)[:300]}", file=sys.stderr)
+    if not results:
+        raise RuntimeError("every serving shape failed")
+    winner = max(results, key=lambda r: r["mpix_s"])
+
+    mpix_s = winner["mpix_s"]
     print(json.dumps({
         "metric": METRIC,
         "value": round(mpix_s, 2),
         "unit": "Mpixel/s/chip",
         "vs_baseline": round(mpix_s / TARGET_MPIX_S, 4),
+        "shape": winner["shape"],
     }))
-    print(f"# {fps:.2f} fps at {WIDTH}x{HEIGHT} msaa4, {FRAMES}-frame batch "
-          f"(backend={jax.default_backend()}, checksum={float(total):.4f}, "
-          f"first_call_s={first_call_s:.1f})",
-          file=sys.stderr)
+    for r in results:
+        print(f"# {r['shape']}: {r['fps']:.2f} fps at {WIDTH}x{HEIGHT} "
+              f"msaa4, {FRAMES}-frame batch "
+              f"(backend={jax.default_backend()}, "
+              f"checksum={r['checksum']:.4f}, "
+              f"first_call_s={r['first_call_s']:.1f})",
+              file=sys.stderr)
 
 
 def main():

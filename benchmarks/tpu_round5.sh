@@ -61,9 +61,9 @@ if main.exists() and warm.exists():
     print("merged warm config-1 row")
 EOF
 
-# 2. Headline bench, both shapes (flip default to the winner).
-step 20_bench_scan  3000 python bench.py
-step 21_bench_batch 3000 python bench.py --batch
+# 2. Headline bench — bench.py now measures BOTH serving shapes in one
+#    run and reports the winner (no default flip needed).
+step 20_bench 6000 python bench.py
 
 # 3. 4K guard-band envelope proof artifact.
 step 30_stress4k 2400 python benchmarks/stress_4k_envelope.py \
@@ -113,7 +113,9 @@ if main.exists() and c5.exists():
     print("merged config-5 rows into", main)
 EOF
 
-# 7. Fresh flagship stage anatomy.
+# 7. Fresh flagship stage anatomy + the shadow-pass tuning sweep (the
+#    dominant residual cost; flip shadow_tile_h default on this data).
 step 70_profile_stages 3000 python benchmarks/profile_stages.py
+step 71_shadow_tiles 3000 python benchmarks/shadow_tile_probe.py
 
 echo "=== queue done $(date -u +%T)" | tee -a "$LOGDIR/pipeline.log"

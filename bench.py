@@ -63,7 +63,14 @@ def _probe_backend():
     """
     if os.environ.get("BENCH_FORCE_OUTAGE"):
         return False, "forced by BENCH_FORCE_OUTAGE"
-    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    # The probe must target the SAME platform the run will use:
+    # METALRENDERER_PLATFORM (authoritative on this platform — the
+    # plain JAX_PLATFORMS env var is ignored by the axon plugin) would
+    # otherwise make a CPU-configured bench hang probing the TPU.
+    plat = os.environ.get("METALRENDERER_PLATFORM")
+    pre = (f"import jax; jax.config.update('jax_platforms', {plat!r}); "
+           if plat else "import jax; ")
+    code = pre + "d = jax.devices(); print(d[0].platform, len(d))"
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,

@@ -330,11 +330,14 @@ def main(argv=None):
     p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
+    # Cache/env first, explicit flag second: a --platform on the
+    # command line must beat the METALRENDERER_PLATFORM env override
+    # that enable_persistent_cache applies.
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    from .utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
     return args.fn(args)
 
 

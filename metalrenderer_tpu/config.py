@@ -75,6 +75,12 @@ class RenderConfig:
     # clipper); up to xyclip_capacity such triangles per frame, overflow
     # counted in stats (beyond-cap triangles fall back to the f32
     # precision envelope, exact to ~5e5 px). 0 capacity disables.
+    # Capacity interplay: clipped pieces whose on-screen footprint still
+    # spans many tiles land in the BIG list, which fills in submission
+    # order — scene bigs (e.g. the floor) take slots before the
+    # later-appended pieces, and any piece that misses out is counted
+    # in big_dropped. A worst case of 5*xyclip_capacity big pieces can
+    # exceed big_capacity; that degradation is detected, never silent.
     guard_band_px: float = 32768.0
     xyclip_capacity: int = 64
 
@@ -87,6 +93,14 @@ class RenderConfig:
                 f"msaa={self.msaa} unsupported; must be one of "
                 f"{tuple(SAMPLE_POSITIONS)} (patterns are pinned — "
                 "config.SAMPLE_POSITIONS)")
+        # The guard box is centered on the viewport; it must CONTAIN it
+        # or guard clipping would cut visible on-screen geometry.
+        if self.xyclip_capacity > 0 and \
+                self.guard_band_px < max(self.width, self.height) / 2:
+            raise ValueError(
+                f"guard_band_px={self.guard_band_px} is smaller than "
+                f"half the viewport ({self.width}x{self.height}); the "
+                "guard box must contain the screen")
 
     @property
     def sample_positions(self):

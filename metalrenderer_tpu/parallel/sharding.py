@@ -119,8 +119,8 @@ def render_frame_batch(scene, camera, lighting, displacements, thetas,
     return jax.jit(shardf)(scene, camera, lighting, displacements, thetas)
 
 
-def prune_to_band(geom, view, proj, height, band_index, band_h, cap,
-                  margin=1.0):
+def prune_to_band(geom, view, proj, width, height, band_index,
+                  band_h, cap, margin=1.0):
     """Compact the triangle soup to those touching one horizontal band.
 
     Per-triangle screen-row extents come from the (replicated, one-
@@ -143,11 +143,13 @@ def prune_to_band(geom, view, proj, height, band_index, band_h, cap,
 
     Returns (pruned PackedGeometry, n_in_band i32[], dropped i32[]).
     """
+    from ..raster.geometry import clip_to_screen
     clip = project(geom.world, view, proj).reshape(-1, 3, 4)   # [T,3,4]
-    w = clip[..., 3]
-    w_ok = jnp.all(w > 1e-6, axis=-1)                          # [T]
-    inv_w = 1.0 / jnp.where(w_ok[:, None], w, 1.0)
-    rows = (1.0 - clip[..., 1] * inv_w) * (0.5 * height)       # [T,3]
+    # Reuse the ONE viewport mapping (clip_to_screen) — a drifting
+    # inline copy of the row formula could misclassify bands by more
+    # than the margin if the convention ever changed.
+    screen, _, _, w_ok = clip_to_screen(clip, width, height)
+    rows = screen[..., 1]                                      # [T,3]
     ymin = jnp.min(rows, axis=-1) - margin
     ymax = jnp.max(rows, axis=-1) + margin
     y0 = band_index * band_h
@@ -223,7 +225,7 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
         # Band membership in FULL-image rows, from the base projection.
         pruned, n_in, dropped = prune_to_band(
             geom, camera.view_matrix(), camera.projection_matrix(),
-            config.height, band, band_h, cap)
+            config.width, config.height, band, band_h, cap)
         fb, _ = render_frame(
             scene, cam, lighting, band_cfg,
             shadow_config, displacement, shadow_target, backend,
@@ -241,4 +243,15 @@ def render_tile_sharded(scene, camera, lighting, mesh: Mesh,
     if with_stats:
         return out, {"band_triangles": n_in, "band_dropped": dropped,
                      "band_capacity": cap}
+    # Cap discipline (SURVEY §7): even without stats, overflow must not
+    # pass silently — the arrays are already concrete here (this call
+    # runs outside any surrounding jit), so the check costs nothing.
+    total_dropped = int(np.asarray(dropped).sum())
+    if total_dropped:
+        import warnings
+        warnings.warn(
+            f"render_tile_sharded dropped {total_dropped} triangles "
+            f"beyond the per-band capacity {cap}; raise band_slack "
+            "(or call with with_stats=True to inspect per-device "
+            "band_dropped)", RuntimeWarning, stacklevel=2)
     return out                           # [H, W, 4] row-sharded

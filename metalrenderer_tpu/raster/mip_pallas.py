@@ -131,9 +131,14 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
             r0r = r0[r:r + 1, :]
             e0 = (iota_c == c0r).astype(jnp.float32)  # [MWIN_W,128]
             e1 = (iota_c == c0r + 1).astype(jnp.float32)
-            xg0 = jnp.dot(win3, e0,
+            # precision=HIGHEST is REQUIRED for the exactness claim: the
+            # MXU's default single-pass bf16 mode would truncate the
+            # f32 texel values (the platform's #1 numeric trap); under
+            # the multi-pass split every partial product of a one-hot
+            # operand is exact and sums back to the f32 value.
+            xg0 = jnp.dot(win3, e0, precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)  # [3H,128]
-            xg1 = jnp.dot(win3, e1,
+            xg1 = jnp.dot(win3, e1, precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
             m0 = (iota_w == r0r).astype(jnp.float32)  # [3H,128]
             m1 = (iota_w == r0r + 1).astype(jnp.float32)

@@ -149,13 +149,16 @@ def test_matmul_impl_matches_gather_impl():
     lod = jnp.asarray(rng.random(shape) * 2.5, jnp.float32)
     mask = jnp.asarray(rng.random(shape) > 0.2)
 
-    assert "METALRENDERER_MIP_IMPL" not in os.environ
-    ref = sample_pyramid_tiled(mips, u, v, lod, mask)
-    os.environ["METALRENDERER_MIP_IMPL"] = "matmul"
+    saved = os.environ.pop("METALRENDERER_MIP_IMPL", None)
     try:
+        ref = sample_pyramid_tiled(mips, u, v, lod, mask)
+        os.environ["METALRENDERER_MIP_IMPL"] = "matmul"
         new = sample_pyramid_tiled(mips, u, v, lod, mask)
     finally:
-        del os.environ["METALRENDERER_MIP_IMPL"]
+        if saved is None:
+            os.environ.pop("METALRENDERER_MIP_IMPL", None)
+        else:
+            os.environ["METALRENDERER_MIP_IMPL"] = saved
     for a, b in zip(ref, new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1.2e-7, rtol=0)

@@ -14,15 +14,19 @@ Design (band-kernel family; see raster_pallas.py):
     true wrapped texel — fixing the r1-advice seam bug — and no in-kernel
     mod is needed: tap column = floor(u*w - 0.5) + 1 is always in range).
   * Grid = one program per (sample-grid, framebuffer tile). Each tile
-    walks ONLY the mip levels its pixels actually reference
-    (lmin..lmax from per-tile scalars — usually 1-2 of 10), DMAs a
-    MWIN_H x MWIN_W window per level per channel, and accumulates
-    trilinear contributions masked per pixel.
-  * Window origins are per (tile, level), computed in XLA from the
-    coordinate minima of the RELEVANT pixels only (those whose lo/hi tap
-    is this level). Isotropic LOD bounds the relevant footprint to
-    < 2 texels/pixel, so a 32x384 window covers a 8x128 tile except in
-    pathological anisotropy, where taps clamp to the window border.
+    walks a per-tile VISIT LIST (level, window origin, uv half-open
+    bounds) of compile-time capacity 2L but typically 1-3 live entries,
+    DMAs a MWIN_H x MWIN_W window per visit per channel, and
+    accumulates trilinear contributions masked per pixel.
+  * Visits are built in XLA from the coordinate minima of the RELEVANT
+    pixels only (those whose lo/hi tap is this level). Isotropic LOD
+    bounds the relevant footprint to < 2 texels/pixel, so a 32x384
+    window covers a 8x128 tile whenever the tile's uv field is
+    coherent; a uv-DISCONTINUOUS tile (two cube faces, or two
+    instances sharing a texture) gets TWO visits at the same level —
+    one window per uv cluster — so seam tiles sample EXACTLY instead
+    of blurring (the r5 LOD-escalation scheme cost config 4 its 40 dB
+    parity bar: whole-tile bumps on seam tiles vs the dense sampler).
   * The in-register bilinear uses the two Mosaic-supported gather forms
     (lane gather within 128-lane slices + sublane gather within 8-row
     groups); the 32-row window keeps the amplification ~4x below the
@@ -43,6 +47,7 @@ TILE_H = 8
 TILE_W = 128
 MWIN_H = 32    # 4 sublane groups
 MWIN_W = 384   # 3 lane slices
+FIX = float(1 << 20)   # fixed-point scale for uv visit bounds (SMEM i32)
 
 
 def _cdiv(a, b):
@@ -202,7 +207,11 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
             rows.append(top * (1.0 - fyr) + bot * fyr)
         return jnp.concatenate(rows, axis=0)
 
-    def kernel(lmin_r, lmax_r, wx_r, wy_r, lw_r, lh_r,
+    vmax = 2 * n_levels
+    inv_fix = 1.0 / FIX
+
+    def kernel(nvis_r, vlev_r, vwx_r, vwy_r, vulo_r, vuhi_r,
+               vvlo_r, vvhi_r, lw_r, lh_r,
                pyr_hbm, u_r, v_r, lodc_r, mask_r, out_r, win, sem):
         i = pl.program_id(0)
         u = u_r[...]
@@ -213,9 +222,11 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
         frac = lodc - l0
         hi = jnp.minimum(l0 + 1.0, lf_max)
 
-        def body(l, acc):
-            wx = pl.multiple_of(wx_r[i * n_levels + l], 128)
-            wy = pl.multiple_of(wy_r[i * n_levels + l], 8)
+        def body(k, acc):
+            idx = i * vmax + k
+            l = vlev_r[idx]
+            wx = pl.multiple_of(vwx_r[idx], 128)
+            wy = pl.multiple_of(vwy_r[idx], 8)
             cp = pltpu.make_async_copy(
                 pyr_hbm.at[l, :, pl.ds(wy, MWIN_H), pl.ds(wx, MWIN_W)],
                 win, sem)
@@ -232,8 +243,18 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
             fy = t - y0
             r0 = jnp.clip(y0.astype(jnp.int32) + 1 - wy, 0, MWIN_H - 2)
             lfl = l.astype(jnp.float32)
-            wpx = msk * ((1.0 - frac) * (l0 == lfl).astype(jnp.float32)
-                         + frac * (hi == lfl).astype(jnp.float32))
+            # Visit bounds (fixed-point i32 scalars -> f32): a seam tile
+            # splits into two visits at the same level; each pixel is
+            # claimed by exactly one via these half-open uv ranges.
+            ulo = vulo_r[idx].astype(jnp.float32) * inv_fix
+            uhi = vuhi_r[idx].astype(jnp.float32) * inv_fix
+            vlo = vvlo_r[idx].astype(jnp.float32) * inv_fix
+            vhi = vvhi_r[idx].astype(jnp.float32) * inv_fix
+            in_rng = ((u >= ulo) & (u < uhi) & (v >= vlo)
+                      & (v < vhi)).astype(jnp.float32)
+            wpx = msk * in_rng * (
+                (1.0 - frac) * (l0 == lfl).astype(jnp.float32)
+                + frac * (hi == lfl).astype(jnp.float32))
             if use_matmul:
                 vals = bilinear_stacked(
                     win[...].reshape(channels * MWIN_H, MWIN_W),
@@ -245,8 +266,7 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
                 for c in range(channels))
 
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc = jax.lax.fori_loop(lmin_r[i], lmax_r[i] + 1, body,
-                                (zero,) * channels)
+        acc = jax.lax.fori_loop(0, nvis_r[i], body, (zero,) * channels)
         for c in range(channels):
             out_r[c] = acc[c]
 
@@ -265,64 +285,126 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
     nt = nty * ntx
     L = n_levels
 
-    # --- per-(tile, level) window origins from RELEVANT pixels only ----
+    # --- per-tile VISIT LISTS from RELEVANT pixels only ----------------
+    # A visit = (level, window origin, half-open uv bounds). Coherent
+    # tiles get one visit per referenced level (same windows as before);
+    # a uv-discontinuous tile (cube-face seam, instances sharing a
+    # texture) is SPLIT into two clusters by one threshold on the worse
+    # axis and gets one exact visit per cluster. Only when even the
+    # 2-way split cannot fit a window do pixels LOD-escalate (lo tap one
+    # level coarser — blurrier but valid; hi-only taps drop to frac=0).
     ut = u.reshape(b, nty, TILE_H, ntx, TILE_W)
     vt = v.reshape(b, nty, TILE_H, ntx, TILE_W)
     lt = lodc.reshape(b, nty, TILE_H, ntx, TILE_W)
     mt = maskf.reshape(b, nty, TILE_H, ntx, TILE_W) > 0.0
     inf = jnp.float32(jnp.inf)
 
-    # LOD escalation: a tile whose relevant-pixel footprint cannot fit a
-    # window at level l (uv-discontinuous tiles — e.g. two cube faces, or
-    # two instances sharing a texture — or forced low-LOD sampling of a
-    # large texture) bumps those pixels to level l+1 and retries. The
-    # result stays a VALID (blurrier) trilinear sample instead of a
-    # window-border clamp to wrong texels. Isotropic-LOD footprints are
-    # < 2 texels/pixel, so coherent tiles never trip the limits.
     uspan_limit = MWIN_W - 130.0   # 128-aligned origin slack + bilinear
     vspan_limit = MWIN_H - 10.0    # 8-aligned origin slack + bilinear
-    for l in range(L - 1):
-        lf = jnp.float32(l)
-        l0t = jnp.floor(lt)
-        hit = jnp.minimum(l0t + 1.0, L - 1.0)
-        rel = mt & ((l0t == lf) | (hit == lf))
-        h_l, w_l = sizes[l]
-        umin = jnp.min(jnp.where(rel, ut, inf), axis=(2, 4))
-        umax = jnp.max(jnp.where(rel, ut, -inf), axis=(2, 4))
-        vmin = jnp.min(jnp.where(rel, vt, inf), axis=(2, 4))
-        vmax = jnp.max(jnp.where(rel, vt, -inf), axis=(2, 4))
-        bad = (((umax - umin) * w_l > uspan_limit)
-               | ((vmax - vmin) * h_l > vspan_limit))   # [b, nty, ntx]
-        bump = rel & bad[:, :, None, :, None]
-        # lo tap at a bad level -> escalate to l+1 (blurrier, valid);
-        # hi tap only -> drop it (frac -> 0; the lo level already fit).
-        lt = jnp.where(bump, jnp.where(l0t == lf, lf + 1.0, l0t), lt)
-    lodc = lt.reshape(b, hp, wp)
 
-    l0t = jnp.floor(lt)
-    hit = jnp.minimum(l0t + 1.0, L - 1.0)
-    wx_list, wy_list = [], []
-    for l in range(L):
-        lf = jnp.float32(l)
-        rel = mt & ((l0t == lf) | (hit == lf))
-        umin = jnp.min(jnp.where(rel, ut, inf), axis=(2, 4))   # [b,nty,ntx]
-        vmin = jnp.min(jnp.where(rel, vt, inf), axis=(2, 4))
-        h_l, w_l = sizes[l]
+    def _mm(rel, a):
+        return (jnp.min(jnp.where(rel, a, inf), axis=(2, 4)),
+                jnp.max(jnp.where(rel, a, -inf), axis=(2, 4)))
+
+    def _origin(umin, vmin, w_l, h_l):
         cmin = jnp.floor(umin * w_l - 0.5) + 1.0
         rmin = jnp.floor(vmin * h_l - 0.5) + 1.0
         cmin = jnp.where(jnp.isfinite(cmin), cmin, 0.0)
         rmin = jnp.where(jnp.isfinite(rmin), rmin, 0.0)
-        wx_list.append(jnp.clip(
-            (cmin.astype(jnp.int32) // 128) * 128, 0, pw - MWIN_W))
-        wy_list.append(jnp.clip(
-            (rmin.astype(jnp.int32) // 8) * 8, 0, ph - MWIN_H))
-    wx = jnp.stack(wx_list, axis=-1).reshape(-1)     # [b*nt*L]
-    wy = jnp.stack(wy_list, axis=-1).reshape(-1)
+        return (jnp.clip((cmin.astype(jnp.int32) // 128) * 128,
+                         0, pw - MWIN_W),
+                jnp.clip((rmin.astype(jnp.int32) // 8) * 8,
+                         0, ph - MWIN_H))
 
-    lmin = jnp.min(jnp.where(mt, l0t, jnp.float32(L)), axis=(2, 4))
-    lmax = jnp.max(jnp.where(mt, hit, -1.0), axis=(2, 4))
-    lmin = lmin.astype(jnp.int32).reshape(-1)        # [b*nt]
-    lmax = lmax.astype(jnp.int32).reshape(-1)
+    NEG = jnp.int32(-(1 << 22))    # bounds sentinels (uv live in [0, 1))
+    POS = jnp.int32(1 << 22)
+    slots = {k: [] for k in
+             ("valid", "lev", "wx", "wy", "ulo", "uhi", "vlo", "vhi")}
+
+    for l in range(L):
+        lf = jnp.float32(l)
+        h_l, w_l = sizes[l]
+        l0t = jnp.floor(lt)
+        hit = jnp.minimum(l0t + 1.0, L - 1.0)
+        # frac == 0 pixels have NO hi tap: excluding them keeps dropped
+        # hi taps (and integer-lod pixels) out of window footprints, so
+        # an escalated pixel cannot cascade-blur its l+1 neighbors.
+        rel = mt & ((l0t == lf) | ((hit == lf) & (lt > l0t)))
+        has = jnp.any(rel, axis=(2, 4))                    # [b, nty, ntx]
+        umin, umax = _mm(rel, ut)
+        vmin, vmax = _mm(rel, vt)
+        bad_u = (umax - umin) * w_l > uspan_limit
+        bad_v = (vmax - vmin) * h_l > vspan_limit
+        fits = has & ~bad_u & ~bad_v
+
+        # Split threshold, quantized to the kernel's fixed-point grid so
+        # XLA cluster membership and the in-kernel bounds test agree
+        # bit-for-bit.
+        axis_v = bad_v    # 32-row windows trip far sooner than 384-col
+        mid = jnp.where(axis_v, 0.5 * (vmin + vmax), 0.5 * (umin + umax))
+        mid_i = jnp.round(mid * FIX).astype(jnp.int32)
+        mid_q = mid_i.astype(jnp.float32) / FIX
+        coord = jnp.where(axis_v[:, :, None, :, None], vt, ut)
+        in_a = coord < mid_q[:, :, None, :, None]
+        rel_a = rel & in_a
+        rel_b = rel & ~in_a
+
+        def _cluster(relc):
+            hasc = jnp.any(relc, axis=(2, 4))
+            cumin, cumax = _mm(relc, ut)
+            cvmin, cvmax = _mm(relc, vt)
+            fitc = (hasc & ((cumax - cumin) * w_l <= uspan_limit)
+                    & ((cvmax - cvmin) * h_l <= vspan_limit))
+            return hasc, fitc, _origin(cumin, cvmin, w_l, h_l)
+
+        has_a, fit_a, (wx_a, wy_a) = _cluster(rel_a)
+        has_b, fit_b, (wx_b, wy_b) = _cluster(rel_b)
+        wx_w, wy_w = _origin(umin, vmin, w_l, h_l)
+
+        terminal = l == L - 1   # no coarser level: visit anyway (taps
+        ok_a = fit_a | terminal  # clamp to the border as a last resort)
+        ok_b = fit_b | terminal
+        full_lo = jnp.full_like(mid_i, NEG)
+        full_hi = jnp.full_like(mid_i, POS)
+        lev = jnp.full_like(mid_i, l)
+        # slot 0: the whole tile when coherent, else cluster A
+        slots["valid"].append(jnp.where(fits, has, has_a & ok_a))
+        slots["lev"].append(lev)
+        slots["wx"].append(jnp.where(fits, wx_w, wx_a))
+        slots["wy"].append(jnp.where(fits, wy_w, wy_a))
+        slots["ulo"].append(full_lo)
+        slots["uhi"].append(jnp.where(fits | axis_v, full_hi, mid_i))
+        slots["vlo"].append(full_lo)
+        slots["vhi"].append(jnp.where(fits | ~axis_v, full_hi, mid_i))
+        # slot 1: cluster B (split tiles only)
+        slots["valid"].append(~fits & has_b & ok_b)
+        slots["lev"].append(lev)
+        slots["wx"].append(wx_b)
+        slots["wy"].append(wy_b)
+        slots["ulo"].append(jnp.where(axis_v, full_lo, mid_i))
+        slots["uhi"].append(full_hi)
+        slots["vlo"].append(jnp.where(axis_v, mid_i, full_lo))
+        slots["vhi"].append(full_hi)
+
+        if l < L - 1:
+            bump = ((rel_a & ~fit_a[:, :, None, :, None])
+                    | (rel_b & ~fit_b[:, :, None, :, None]))
+            bump = bump & ~fits[:, :, None, :, None]
+            lt = jnp.where(bump,
+                           jnp.where(l0t == lf, lf + 1.0, l0t), lt)
+    lodc = lt.reshape(b, hp, wp)
+
+    vmax_slots = 2 * L
+    def _stacked(key):
+        return jnp.stack(slots[key], axis=-1).reshape(b * nt, vmax_slots)
+    valid = _stacked("valid")
+    order = jnp.argsort((~valid).astype(jnp.int32), axis=-1,
+                        stable=True)          # live visits first
+    nvis = jnp.sum(valid, axis=-1, dtype=jnp.int32)
+
+    def _compact(key):
+        return jnp.take_along_axis(_stacked(key), order, axis=-1
+                                   ).reshape(-1)
 
     lw = jnp.asarray([s[1] for s in sizes], jnp.int32)
     lh = jnp.asarray([s[0] for s in sizes], jnp.int32)
@@ -332,7 +414,7 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
         (None, TILE_H, TILE_W),
         lambda i, *_: (i // nt, (i % nt) // ntx, (i % nt) % ntx))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=10,
         grid=(b * nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # pyramid in HBM
@@ -351,7 +433,9 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, channels, hp, wp), jnp.float32),
         interpret=_should_interpret(),
-    )(lmin, lmax, wx, wy, lw, lh, pyramid, u, v, lodc, maskf)
+    )(nvis, _compact("lev"), _compact("wx"), _compact("wy"),
+      _compact("ulo"), _compact("uhi"), _compact("vlo"), _compact("vhi"),
+      lw, lh, pyramid, u, v, lodc, maskf)
 
 
 def sample_pyramid_tiled(mips, u, v, lod, mask, address_mode=REPEAT,

@@ -1,8 +1,10 @@
 """Batched pyramid sampler (mip_pallas) vs the golden samplers.
 
-The kernel is bit-exact for window-fitting (spatially coherent) inputs;
-uv-discontinuous tiles escalate to a coarser mip level, which stays a
-valid convex combination of texel values.
+The kernel is bit-exact for window-fitting (spatially coherent) inputs
+AND for 2-cluster uv-discontinuous tiles (cube-face seams), which get
+one window visit per cluster. Only tiles whose footprint defeats even
+the 2-way split escalate to a coarser mip level, which stays a valid
+convex combination of texel values.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -87,14 +89,52 @@ def test_masked_pixels_are_inert():
     assert np.all(got[:, W // 2:] == 0.0)
 
 
-@pytest.mark.slow
-def test_discontinuous_tiles_escalate_not_corrupt():
-    """A tile containing two distant uv islands yields a VALID (coarser)
-    sample — a convex combination of texel values — not clamped garbage."""
+def test_two_island_tiles_sample_exactly():
+    """A tile containing two distant uv islands (the cube-face-seam
+    shape that cost config 4 its 40 dB parity bar in the r5 sweep) gets
+    one window visit per cluster and matches the dense sampler EXACTLY
+    — no LOD escalation, no window-border clamping."""
     mips = tex_mod.checkerboard(size=64, squares=8)
     half = XX < W // 2
     u = jnp.asarray(np.where(half, 0.1 + 0.1 * XX / W, 0.8), jnp.float32)
     v = jnp.asarray(np.where(half, 0.1 + 0.1 * YY / H, 0.9), jnp.float32)
+    lod = jnp.zeros((H, W))
+    mask = jnp.ones((H, W), bool)
+    r, g, b = sample_pyramid_tiled(mips, u, v, lod, mask)
+    ref = sampling.sample_trilinear(mips, u, v, lod)
+    np.testing.assert_allclose(np.asarray(jnp.stack([r, g, b], -1)),
+                               np.asarray(ref[..., :3]), atol=1e-6)
+
+
+def test_two_island_trilinear_with_mip_fraction():
+    """Split visits must respect per-pixel lo/hi tap weights: islands
+    with a FRACTIONAL lod blend two levels, each via its own cluster
+    window, still matching dense trilinear exactly."""
+    mips = tex_mod.checkerboard(size=64, squares=8)
+    half = XX < W // 2
+    u = jnp.asarray(np.where(half, 0.05 + 0.2 * XX / W, 0.75), jnp.float32)
+    v = jnp.asarray(np.where(half, 0.1 + 0.15 * YY / H, 0.85), jnp.float32)
+    lod = jnp.asarray(0.3 + 1.2 * YY / H, jnp.float32)
+    mask = jnp.ones((H, W), bool)
+    r, g, b = sample_pyramid_tiled(mips, u, v, lod, mask)
+    ref = sampling.sample_trilinear(mips, u, v, lod)
+    np.testing.assert_allclose(np.asarray(jnp.stack([r, g, b], -1)),
+                               np.asarray(ref[..., :3]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_many_island_tiles_escalate_not_corrupt():
+    """THREE+ uv islands defeat the 2-way split; those pixels escalate
+    to a coarser level — a valid convex combination of texel values,
+    never clamped garbage."""
+    mips = tex_mod.checkerboard(size=64, squares=8)
+    third = W // 3
+    u = jnp.asarray(np.where(XX < third, 0.05,
+                             np.where(XX < 2 * third, 0.45, 0.9)),
+                    jnp.float32)
+    v = jnp.asarray(np.where(XX < third, 0.05,
+                             np.where(XX < 2 * third, 0.5, 0.92)),
+                    jnp.float32)
     lod = jnp.zeros((H, W))
     mask = jnp.ones((H, W), bool)
     r, g, b = sample_pyramid_tiled(mips, u, v, lod, mask)

@@ -234,6 +234,26 @@ def clip_near(clip, attrs=None):
     return out[..., :4], out[..., 4:], parent
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (round-to-nearest f32)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd via 12/12-bit splitting: p + err == a * b exactly
+    (no FMA needed; f32 mul/add on the VPU are IEEE round-to-nearest)."""
+    def split(x):
+        c = x * 4097.0          # 2**12 + 1 for the 24-bit f32 mantissa
+        hi = c - (c - x)
+        return hi, x - hi
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    return p, ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+
+
 def _sh_clip_plane(verts, vcount, dist):
     """One Sutherland-Hodgman pass over padded polygons (static shapes).
 
@@ -255,7 +275,17 @@ def _sh_clip_plane(verts, vcount, dist):
     emit_x = active & (inside != (dnext >= 0.0))               # crossing
     denom = dist - dnext
     t = dist / jnp.where(denom == 0.0, 1.0, denom)
-    xsect = verts + t[..., None] * (vnext - verts)
+    # Compensated interpolation: evaluate v + t*(vn - v) in double-float
+    # and round ONCE, so the clip point's perpendicular deviation from
+    # the true edge line is O(eps * |xsect|), not O(eps * |v|). Plain
+    # f32 deviates up to ~0.7 px from the line at 3e6-px inputs — wider
+    # than the raster's sub-pixel exactness proof; errors in ``t``
+    # itself only slide the point ALONG the line and are harmless.
+    tt = t[..., None]
+    dv, dv_e = _two_sum(vnext, -verts)
+    p1, p1_e = _two_prod(tt, dv)
+    s, s_e = _two_sum(verts, p1)
+    xsect = s + (s_e + p1_e + tt * dv_e)
 
     counts = emit_v.astype(jnp.int32) + emit_x.astype(jnp.int32)
     pos_v = jnp.cumsum(counts, axis=1) - counts                # excl. prefix
@@ -266,8 +296,15 @@ def _sh_clip_plane(verts, vcount, dist):
     k = jnp.arange(V, dtype=jnp.int32)[None, :, None]          # [1, V(out), 1]
     mv = (emit_v[:, None, :] & (pos_v[:, None, :] == k))       # [N, Vo, Vi]
     mx = (emit_x[:, None, :] & (pos_x[:, None, :] == k))
-    out = (jnp.einsum("nov,nvk->nok", mv.astype(verts.dtype), verts)
-           + jnp.einsum("nov,nvk->nok", mx.astype(verts.dtype), xsect))
+    # precision=HIGHEST is load-bearing: the scatter operands are
+    # one-hot, so full-precision selection is EXACT — but the MXU's
+    # default single-pass bf16 mode would truncate the vertex VALUES to
+    # an 8-bit mantissa (the r5 stress4k artifact caught kept vertices
+    # drifting whole pixels at guard-box coordinate magnitudes).
+    out = (jnp.einsum("nov,nvk->nok", mv.astype(verts.dtype), verts,
+                      precision=jax.lax.Precision.HIGHEST)
+           + jnp.einsum("nov,nvk->nok", mx.astype(verts.dtype), xsect,
+                        precision=jax.lax.Precision.HIGHEST))
     return out, out_count
 
 

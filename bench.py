@@ -90,8 +90,8 @@ def _measure_shape(shape_name, scene, camera, lighting, config):
     import jax.numpy as jnp
 
     from metalrenderer_tpu.config import ShadowConfig
-    from metalrenderer_tpu.passes.pipeline import (render_frame,
-                                                   render_frame_batch_fused)
+    from metalrenderer_tpu.passes.pipeline import (
+        render_frame, render_frame_batch_chunked, render_frame_batch_fused)
     from metalrenderer_tpu.utils import profiling
 
     # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
@@ -109,6 +109,20 @@ def _measure_shape(shape_name, scene, camera, lighting, config):
                 return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
             total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
             return total, means
+    elif shape_name == "fused_chunked":
+        # Compile-proven serving shape for long batches: lax.scan over
+        # fused sub-batches of FUSED_CHUNK_FRAMES (the whole-batch fold
+        # blows the SMEM scalar budget past ~8 frames — r5 bisect). The
+        # in-scan frame_map reduces each chunk so the 128-frame batch
+        # never materializes [F, 1080p, 4] f32 in HBM.
+        @jax.jit
+        def run_batch(scene, camera, lighting, disps, thetas):
+            means, _ = render_frame_batch_chunked(
+                scene, camera, lighting, config, ShadowConfig(),
+                disps, thetas,
+                frame_map=lambda rgba: jnp.mean(rgba, axis=(1, 2)))
+            means = means.reshape(-1, means.shape[-1])
+            return jnp.sum(jnp.mean(means, axis=-1)), means
     else:
         # Frame-folded serving shape: the WHOLE batch in two kernel
         # launches (batched shadow pass + frame-folded fused
@@ -175,8 +189,10 @@ def _run():
         shapes = ["frame_folded"]
     elif "--scan" in sys.argv:
         shapes = ["per_frame_scan"]
+    elif "--chunked" in sys.argv:
+        shapes = ["fused_chunked"]
     else:
-        shapes = ["per_frame_scan", "frame_folded"]
+        shapes = ["per_frame_scan", "fused_chunked", "frame_folded"]
 
     results = []
     for s in shapes:

@@ -119,15 +119,15 @@ def flagship_golden(w=1920, h=1080, msaa=4, shadow_map=1024):
 
 
 def bench_config(idx, scene, camera, lighting, config, no_batch=False):
-    from metalrenderer_tpu.passes.pipeline import (fused_batch_eligible,
-                                                   px_batch_eligible,
-                                                   render_frame_batch_fused,
-                                                   render_frame_batch_px)
+    from metalrenderer_tpu.passes.pipeline import (
+        FUSED_CHUNK_FRAMES, fused_batch_eligible, px_batch_eligible,
+        render_frame_batch_chunked, render_frame_batch_fused,
+        render_frame_batch_px)
     frames = FRAMES[idx]
-    use_batch = (not no_batch
-                 and fused_batch_eligible(scene, lighting, config, camera))
-    use_px_batch = (not no_batch and not use_batch
-                    and px_batch_eligible(scene, lighting, config, camera))
+    fused_ok = (not no_batch
+                and fused_batch_eligible(scene, lighting, config, camera))
+    px_ok = (not no_batch and not fused_ok
+             and px_batch_eligible(scene, lighting, config, camera))
 
     # Scene as a jit ARGUMENT (not a closure): captured device arrays
     # become HLO constants, which blow up remote compiles at 1M tris.
@@ -135,36 +135,66 @@ def bench_config(idx, scene, camera, lighting, config, no_batch=False):
     # instance (configs 1-4) would otherwise make the scan body
     # loop-invariant — XLA hoists ONE frame out of the batch and the
     # "benchmark" measures nothing.
-    @jax.jit
-    def run_batch(scene, camera, lighting, disps, dths):
-        if use_batch:
-            # Serving shape: whole batch in two kernel launches.
-            rgba, _ = render_frame_batch_fused(
-                scene, camera, lighting, config, ShadowConfig(),
-                disps, camera.theta + dths)
-            return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))
-        if use_px_batch:
-            rgba, _ = render_frame_batch_px(
-                scene, camera, lighting, config, ShadowConfig(),
-                disps, camera.theta + dths)
-            return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))
+    def make_runner(shape):
+        if shape in ("fused_batch", "px_batch"):
+            fn = (render_frame_batch_fused if shape == "fused_batch"
+                  else render_frame_batch_px)
 
-        def one_frame(carry, p):
-            disp, dth = p
-            cam = camera.replace(theta=camera.theta + dth)
-            fb, _ = render_frame(scene, cam, lighting, config,
-                                 ShadowConfig(), disp,
-                                 jnp.asarray([0.0, 0.0, -1.0]),
-                                 backend="pallas")
-            return carry + jnp.mean(fb), None
-        total, _ = jax.lax.scan(one_frame, jnp.float32(0.0), (disps, dths))
-        return total
+            @jax.jit
+            def run(scene, camera, lighting, disps, dths):
+                rgba, _ = fn(scene, camera, lighting, config,
+                             ShadowConfig(), disps, camera.theta + dths)
+                return jnp.sum(jnp.mean(rgba, axis=(1, 2, 3)))
+        elif shape == "fused_chunked":
+            @jax.jit
+            def run(scene, camera, lighting, disps, dths):
+                m, _ = render_frame_batch_chunked(
+                    scene, camera, lighting, config, ShadowConfig(),
+                    disps, camera.theta + dths,
+                    frame_map=lambda r: jnp.mean(r, axis=(1, 2, 3)))
+                return jnp.sum(m)
+        else:
+            @jax.jit
+            def run(scene, camera, lighting, disps, dths):
+                def one_frame(carry, p):
+                    disp, dth = p
+                    cam = camera.replace(theta=camera.theta + dth)
+                    fb, _ = render_frame(scene, cam, lighting, config,
+                                         ShadowConfig(), disp,
+                                         jnp.asarray([0.0, 0.0, -1.0]),
+                                         backend="pallas")
+                    return carry + jnp.mean(fb), None
+                total, _ = jax.lax.scan(one_frame, jnp.float32(0.0),
+                                        (disps, dths))
+                return total
+        return run
+
+    # Shape ladder: whole-batch fold, then the compile-proven chunked
+    # fold (the r5 sweep's remote compiles died on every >8-frame whole
+    # fold: SMEM scalar budget), then the per-frame scan — so a
+    # full-scale timing row ALWAYS lands and records which shape ran.
+    shapes = []
+    if fused_ok or px_ok:
+        shapes.append("fused_batch" if fused_ok else "px_batch")
+        if frames > FUSED_CHUNK_FRAMES and frames % FUSED_CHUNK_FRAMES == 0:
+            shapes.append("fused_chunked")
+    shapes.append("per_frame_scan")
 
     disps = jnp.linspace(0.0, 0.05, frames)
     dths = jnp.linspace(0.0, 0.2, frames)
-    t0 = time.perf_counter()
-    total = float(run_batch(scene, camera, lighting, disps, dths))
-    compile_s = time.perf_counter() - t0
+    shape_errors = {}
+    for shape in shapes:
+        run_batch = make_runner(shape)
+        t0 = time.perf_counter()
+        try:
+            total = float(run_batch(scene, camera, lighting, disps, dths))
+        except Exception as e:
+            if shape == shapes[-1]:
+                raise
+            shape_errors[shape] = str(e)[:300]
+            continue
+        compile_s = time.perf_counter() - t0
+        break
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -174,10 +204,11 @@ def bench_config(idx, scene, camera, lighting, config, no_batch=False):
     n_tris = sum(int(i.mesh.positions.shape[0]) // 3
                  for i in scene.instances)
     fps = frames / best
-    return {
+    r = {
         "config": idx,
         "width": config.width, "height": config.height,
         "msaa": config.msaa, "triangles": n_tris,
+        "shape": shape,
         "ms_per_frame": round(best / frames * 1e3, 3),
         "fps": round(fps, 2),
         "mpixel_s": round(fps * config.width * config.height / 1e6, 2),
@@ -185,6 +216,9 @@ def bench_config(idx, scene, camera, lighting, config, no_batch=False):
         "compile_s": round(compile_s, 1),
         "checksum": round(total, 4),
     }
+    if shape_errors:
+        r["shape_errors"] = shape_errors
+    return r
 
 
 def bench_config5_sharded(scene, camera, lighting, config):

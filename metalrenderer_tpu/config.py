@@ -58,8 +58,10 @@ class RenderConfig:
     tile_h: int = 8
     tile_w: int = 128
     # Tile shape for the depth-only shadow pass. Taller tiles mean fewer
-    # band program steps over the (sparse) 1024^2 shadow map.
-    shadow_tile_h: int = 32
+    # band program steps over the (sparse) 1024^2 shadow map: 64 beat 32
+    # by ~9% per map on real TPU (benchmarks/shadow_tile_probe.py, r5
+    # sweep: 1.742 vs 1.909 ms/map in the 16-frame scan shape).
+    shadow_tile_h: int = 64
     shadow_tile_w: int = 128
     # Binning: max tiles a triangle may span before it goes to the shared
     # "big" list; capacity of that list (overflow counted in stats).

@@ -537,12 +537,76 @@ def render_frame_batch_px(scene: Scene, camera, lighting,
     return jnp.stack([r, g, b, a], axis=-1), stats
 
 
+FUSED_CHUNK_FRAMES = 8
+
+
+def render_frame_batch_chunked(scene: Scene, camera, lighting,
+                               config: RenderConfig,
+                               shadow_config: ShadowConfig,
+                               displacements, thetas,
+                               chunk=FUSED_CHUNK_FRAMES,
+                               shadow_target=(0.0, 0.0, -1.0),
+                               cameras=None, frame_map=None):
+    """lax.scan over frame-folded sub-batches of ``chunk`` frames.
+
+    The folded kernels' scalar-prefetch (SMEM) footprint scales with the
+    folded frame count — ~80 KB/frame on the flagship scene (band chunk
+    ranges + big-triangle side lists + fused uniforms) — so folding a
+    long batch whole blows the ~1 MB SMEM budget, and the remote Mosaic
+    compile with it (r5 bisect: F=8 compiles, F=32 does not). This shape
+    keeps the fold at a compile-proven size while retaining the
+    vectorized prep and the two-launches-per-chunk dispatch shape; it is
+    the serving default for long batches (render_batch ``chunk`` arg).
+
+    ``frame_map``: optional fn(rgba f32[C, H, W, 4]) -> pytree applied
+    INSIDE the scan (a reduction, u8 quantization, ...) so long batches
+    need not materialize [F, H, W, 4] f32 in HBM. Returns (rgba
+    f32[F, H, W, 4] — or [S, ...] of frame_map outputs — and stats with
+    per-frame leaves).
+    """
+    displacements = jnp.asarray(displacements, jnp.float32)
+    thetas = jnp.asarray(thetas, jnp.float32)
+    F = displacements.shape[0]
+    if F % chunk:
+        raise ValueError(f"frame count {F} not divisible by chunk {chunk}")
+    s = F // chunk
+    fused = fused_batch_eligible(scene, lighting, config,
+                                 camera if cameras is None else None)
+    if not fused and not px_batch_eligible(
+            scene, lighting, config, camera if cameras is None else None):
+        raise ValueError("scene/config not eligible for a folded batch")
+    fn = render_frame_batch_fused if fused else render_frame_batch_px
+
+    dd = displacements.reshape(s, chunk)
+    tt = thetas.reshape(s, chunk)
+    if cameras is None:
+        xs = (dd, tt, None)
+    else:
+        xs = (dd, tt, jax.tree.map(
+            lambda x: x.reshape((s, chunk) + x.shape[1:]), cameras))
+
+    def body(carry, p):
+        d, t, cam = p
+        rgba, st = fn(scene, camera, lighting, config, shadow_config,
+                      d, t, shadow_target=shadow_target, cameras=cam)
+        return carry, (rgba if frame_map is None else frame_map(rgba), st)
+
+    _, (outs, stats) = jax.lax.scan(body, jnp.float32(0.0), xs)
+    if frame_map is None:
+        outs = outs.reshape((F,) + outs.shape[2:])
+    stats = jax.tree.map(
+        lambda x: (x.reshape((F,) + x.shape[2:])
+                   if x.ndim >= 2 and x.shape[:2] == (s, chunk) else x),
+        stats)
+    return outs, stats
+
+
 def render_batch(scene: Scene, camera, lighting,
                  displacements, thetas=None,
                  config: RenderConfig = RenderConfig(),
                  shadow_config: ShadowConfig = ShadowConfig(),
                  shadow_target=(0.0, 0.0, -1.0), cameras=None,
-                 backend="pallas"):
+                 backend="pallas", chunk="auto"):
     """Render a batch of frames in the fewest kernel launches available.
 
     Dispatches to the fused frame-batch (untextured point-light scenes:
@@ -550,6 +614,11 @@ def render_batch(scene: Scene, camera, lighting,
     directional scenes: raster + samplers each take the whole batch), or
     a lax.map of per-frame programs (reference backend or non-8x128
     tiles). All paths are bit-identical per frame.
+
+    ``chunk``: "auto" (default) folds long batches in compile-proven
+    FUSED_CHUNK_FRAMES sub-batches (see render_frame_batch_chunked —
+    whole-batch folds blow the SMEM scalar budget past ~8 frames); an
+    int pins the chunk size; None folds the whole batch in one grid.
 
     ``displacements``: f32[F]; ``thetas``: f32[F] orbit angles (defaults
     to the camera's); ``cameras``: optional stacked camera pytree
@@ -564,6 +633,18 @@ def render_batch(scene: Scene, camera, lighting,
             camera, "theta"):
         cameras = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (F,) + jnp.shape(x)), camera)
+    folded_ok = backend == "pallas" and (
+        fused_batch_eligible(scene, lighting, config,
+                             camera if cameras is None else None)
+        or px_batch_eligible(scene, lighting, config,
+                             camera if cameras is None else None))
+    if folded_ok:
+        c = FUSED_CHUNK_FRAMES if chunk == "auto" else chunk
+        if c is not None and F > c and F % c == 0:
+            return render_frame_batch_chunked(
+                scene, camera, lighting, config, shadow_config,
+                displacements, thetas, chunk=c,
+                shadow_target=shadow_target, cameras=cameras)
     if backend == "pallas" and fused_batch_eligible(
             scene, lighting, config,
             camera if cameras is None else None):

@@ -163,7 +163,11 @@ class TileBins:
     # --- scalar prefetch ---
     band_start: jnp.ndarray      # i32[NBANDS] first chunk of each band
     band_end: jnp.ndarray        # i32[NBANDS] one past the last chunk
-    sub_of_chunk: jnp.ndarray    # i32[MC] subtile (x tile index) per chunk
+    # Subtile (x tile index) per chunk, BYTE-PACKED 4/i32: this array is
+    # O(chunks) and lives in SMEM — unpacked i32 it alone exceeds the
+    # ~1 MB SMEM budget at config-5 scale (1M tris @4K = 258k chunks =
+    # 1.03 MB) and the Mosaic compile dies with it. Requires ntx <= 256.
+    sub4_of_chunk: jnp.ndarray   # i32[MC/4] four subtile bytes per word
     # --- blocked operands (stay in HBM; kernel DMAs per chunk) ---
     chunks: jnp.ndarray          # f32[MC, 4, COLS] (row 3 = pad)
     attr_chunks: jnp.ndarray     # f32[MC, 4, ATTR_COLS] or None
@@ -179,9 +183,12 @@ class TileBins:
 
 
 def num_chunks(num_tiles, num_triangles, span_cap):
-    """Static chunk-grid size for (tiles, tris)."""
+    """Static chunk-grid size for (tiles, tris), rounded to a multiple
+    of 4 so the byte-packed subtile array (sub4_of_chunk) stays aligned
+    across frame-major merges (_flatten_bins)."""
     e = num_triangles * span_cap
-    return num_tiles + -(-e // CHUNK)
+    mc = num_tiles + -(-e // CHUNK)
+    return (mc + 3) & ~3
 
 
 def bin_triangles(setup: TriangleSetup, fields, width, height,
@@ -302,7 +309,11 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
     in_use = c_idx < ends[-1]
     tile_of_chunk = jnp.where(in_use, jnp.minimum(tile_of_chunk, nt - 1),
                               nt - 1)
+    assert ntx <= 256, "byte-packed subtile ids need ntx <= 256"
     sub_of_chunk = (tile_of_chunk % ntx).astype(jnp.int32)
+    s4 = sub_of_chunk.reshape(-1, 4)                # mc is 4-aligned
+    sub4_of_chunk = (s4[:, 0] | (s4[:, 1] << 8) | (s4[:, 2] << 16)
+                     | (s4[:, 3] << 24))
     # Tiles are row-major, so each band's chunks are contiguous.
     band_start = chunk_start[::ntx].astype(jnp.int32)
     band_end = jnp.concatenate(
@@ -349,7 +360,7 @@ def bin_triangles(setup: TriangleSetup, fields, width, height,
 
     return TileBins(
         band_start=band_start, band_end=band_end,
-        sub_of_chunk=sub_of_chunk,
+        sub4_of_chunk=sub4_of_chunk,
         chunks=chunks, attr_chunks=attr_chunks,
         big_tri=big_tri, big_attr=big_attr,
         big_tri_aabb=big_tri_aabb,

@@ -48,6 +48,8 @@ TILE_W = 128
 MWIN_H = 32    # 4 sublane groups
 MWIN_W = 384   # 3 lane slices
 FIX = float(1 << 20)   # fixed-point scale for uv visit bounds (SMEM i32)
+MAX_VISITS = 8         # per-tile visit-slot cap (the arrays live in SMEM)
+SMEM_VISIT_BUDGET = 600_000   # bytes of SMEM the visit arrays may use
 
 
 def _cdiv(a, b):
@@ -107,9 +109,11 @@ def _impl():
     return os.environ.get("METALRENDERER_MIP_IMPL", "gather")
 
 
-def _make_kernel(n_levels, nt, channels, impl="gather"):
+def _make_kernel(n_levels, nt, channels, impl="gather", vmax=None):
     lf_max = float(n_levels - 1)
     use_matmul = impl == "matmul"
+    if vmax is None:
+        vmax = min(2 * n_levels, MAX_VISITS)
 
     def bilinear_stacked(win3, c0, r0, fx, fy):
         """All-channel bilinear via one-hot matmul gathers.
@@ -207,11 +211,9 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
             rows.append(top * (1.0 - fyr) + bot * fyr)
         return jnp.concatenate(rows, axis=0)
 
-    vmax = 2 * n_levels
     inv_fix = 1.0 / FIX
 
-    def kernel(nvis_r, vlev_r, vwx_r, vwy_r, vulo_r, vuhi_r,
-               vvlo_r, vvhi_r, lw_r, lh_r,
+    def kernel(nvis_r, vmeta_r, vgeo_r, lw_r, lh_r,
                pyr_hbm, u_r, v_r, lodc_r, mask_r, out_r, win, sem):
         i = pl.program_id(0)
         u = u_r[...]
@@ -221,12 +223,15 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
         l0 = jnp.floor(lodc)
         frac = lodc - l0
         hi = jnp.minimum(l0 + 1.0, lf_max)
+        shr = jax.lax.shift_right_logical
 
         def body(k, acc):
             idx = i * vmax + k
-            l = vlev_r[idx]
-            wx = pl.multiple_of(vwx_r[idx], 128)
-            wy = pl.multiple_of(vwy_r[idx], 8)
+            m = vmeta_r[idx]
+            g = vgeo_r[idx]
+            l = shr(m, 24) & 31
+            wx = pl.multiple_of((g & 1023) * 128, 128)
+            wy = pl.multiple_of((shr(g, 10) & 16383) * 8, 8)
             cp = pltpu.make_async_copy(
                 pyr_hbm.at[l, :, pl.ds(wy, MWIN_H), pl.ds(wx, MWIN_W)],
                 win, sem)
@@ -243,15 +248,22 @@ def _make_kernel(n_levels, nt, channels, impl="gather"):
             fy = t - y0
             r0 = jnp.clip(y0.astype(jnp.int32) + 1 - wy, 0, MWIN_H - 2)
             lfl = l.astype(jnp.float32)
-            # Visit bounds (fixed-point i32 scalars -> f32): a seam tile
+            # Visit bounds, unpacked from the meta word: a seam tile
             # splits into two visits at the same level; each pixel is
-            # claimed by exactly one via these half-open uv ranges.
-            ulo = vulo_r[idx].astype(jnp.float32) * inv_fix
-            uhi = vuhi_r[idx].astype(jnp.float32) * inv_fix
-            vlo = vvlo_r[idx].astype(jnp.float32) * inv_fix
-            vhi = vvhi_r[idx].astype(jnp.float32) * inv_fix
-            in_rng = ((u >= ulo) & (u < uhi) & (v >= vlo)
-                      & (v < vhi)).astype(jnp.float32)
+            # claimed by exactly one via the half-open range on the
+            # split axis (fixed-point mid matches the XLA-side cluster
+            # membership bit-for-bit). Selection is ARITHMETIC blends on
+            # exact 0/1 scalars — scalar-predicate vector selects are
+            # not Mosaic-compilable here.
+            axis_f = (shr(m, 22) & 1).astype(jnp.float32)
+            side_f = (shr(m, 21) & 1).astype(jnp.float32)
+            split_f = (shr(m, 23) & 1).astype(jnp.float32)
+            mid = (m & 0x1FFFFF).astype(jnp.float32) * inv_fix
+            coord = u + (v - u) * axis_f
+            ge_f = (coord >= mid).astype(jnp.float32)
+            in_rng = ((1.0 - split_f)
+                      + split_f * (side_f * ge_f
+                                   + (1.0 - side_f) * (1.0 - ge_f)))
             wpx = msk * in_rng * (
                 (1.0 - frac) * (l0 == lfl).astype(jnp.float32)
                 + frac * (hi == lfl).astype(jnp.float32))
@@ -316,10 +328,15 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
                 jnp.clip((rmin.astype(jnp.int32) // 8) * 8,
                          0, ph - MWIN_H))
 
-    NEG = jnp.int32(-(1 << 22))    # bounds sentinels (uv live in [0, 1))
-    POS = jnp.int32(1 << 22)
-    slots = {k: [] for k in
-             ("valid", "lev", "wx", "wy", "ulo", "uhi", "vlo", "vhi")}
+    # Visits are packed 2 i32/visit and capped at VMAX slots per tile —
+    # these arrays live in SMEM, where the naive layout (7 arrays x 2L
+    # slots) costs 1.26 MB at 1080p with an 11-level chain and kills the
+    # Mosaic compile. meta: mid_i | side<<21 | axis<<22 | split<<23 |
+    # level<<24; geo: wx/128 | (wy/8)<<10.
+    assert L <= 32
+    vmax_slots = min(2 * L, MAX_VISITS)
+    used = jnp.zeros((b, nty, ntx), jnp.int32)
+    slots = {k: [] for k in ("valid", "meta", "geo")}
 
     for l in range(L):
         lf = jnp.float32(l)
@@ -342,7 +359,7 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
         # bit-for-bit.
         axis_v = bad_v    # 32-row windows trip far sooner than 384-col
         mid = jnp.where(axis_v, 0.5 * (vmin + vmax), 0.5 * (umin + umax))
-        mid_i = jnp.round(mid * FIX).astype(jnp.int32)
+        mid_i = jnp.clip(jnp.round(mid * FIX), 0, FIX).astype(jnp.int32)
         mid_q = mid_i.astype(jnp.float32) / FIX
         coord = jnp.where(axis_v[:, :, None, :, None], vt, ut)
         in_a = coord < mid_q[:, :, None, :, None]
@@ -364,39 +381,56 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
         terminal = l == L - 1   # no coarser level: visit anyway (taps
         ok_a = fit_a | terminal  # clamp to the border as a last resort)
         ok_b = fit_b | terminal
-        full_lo = jnp.full_like(mid_i, NEG)
-        full_hi = jnp.full_like(mid_i, POS)
-        lev = jnp.full_like(mid_i, l)
-        # slot 0: the whole tile when coherent, else cluster A
-        slots["valid"].append(jnp.where(fits, has, has_a & ok_a))
-        slots["lev"].append(lev)
-        slots["wx"].append(jnp.where(fits, wx_w, wx_a))
-        slots["wy"].append(jnp.where(fits, wy_w, wy_a))
-        slots["ulo"].append(full_lo)
-        slots["uhi"].append(jnp.where(fits | axis_v, full_hi, mid_i))
-        slots["vlo"].append(full_lo)
-        slots["vhi"].append(jnp.where(fits | ~axis_v, full_hi, mid_i))
-        # slot 1: cluster B (split tiles only)
-        slots["valid"].append(~fits & has_b & ok_b)
-        slots["lev"].append(lev)
-        slots["wx"].append(wx_b)
-        slots["wy"].append(wy_b)
-        slots["ulo"].append(jnp.where(axis_v, full_lo, mid_i))
-        slots["uhi"].append(full_hi)
-        slots["vlo"].append(jnp.where(axis_v, mid_i, full_lo))
-        slots["vhi"].append(full_hi)
+
+        # Slot budget: emitting this level's visits must leave one slot
+        # free for the terminal catch-all; tiles over budget emit
+        # nothing here and their pixels escalate instead. At the
+        # terminal level a tile whose 2-way split no longer fits the
+        # remaining slots collapses to ONE whole-footprint visit.
+        want0 = jnp.where(fits, has, has_a & ok_a)
+        want1 = ~fits & has_b & ok_b
+        need = want0.astype(jnp.int32) + want1.astype(jnp.int32)
+        budget = vmax_slots if terminal else vmax_slots - 1
+        can = used + need <= budget
+        if terminal:
+            whole = has & ~can
+            v0 = jnp.where(can, want0, has)
+            v1 = can & want1
+            use_whole = fits | whole
+        else:
+            whole = jnp.zeros_like(fits)
+            v0 = can & want0
+            v1 = can & want1
+            use_whole = fits
+        used = used + v0.astype(jnp.int32) + v1.astype(jnp.int32)
+
+        # slot 0: the whole footprint when coherent (or the terminal
+        # catch-all), else cluster A with bounds coord < mid.
+        split0 = (~use_whole).astype(jnp.int32)
+        axis_i = axis_v.astype(jnp.int32)
+        slots["valid"].append(v0)
+        slots["meta"].append(mid_i | (0 << 21) | (axis_i << 22)
+                             | (split0 << 23) | (l << 24))
+        slots["geo"].append(
+            jnp.where(use_whole, wx_w, wx_a) // 128
+            | (jnp.where(use_whole, wy_w, wy_a) // 8) << 10)
+        # slot 1: cluster B (split tiles only), bounds coord >= mid.
+        slots["valid"].append(v1)
+        slots["meta"].append(mid_i | (1 << 21) | (axis_i << 22)
+                             | (1 << 23) | (l << 24))
+        slots["geo"].append(wx_b // 128 | (wy_b // 8) << 10)
 
         if l < L - 1:
             bump = ((rel_a & ~fit_a[:, :, None, :, None])
                     | (rel_b & ~fit_b[:, :, None, :, None]))
             bump = bump & ~fits[:, :, None, :, None]
+            bump = bump | (rel & ~can[:, :, None, :, None])
             lt = jnp.where(bump,
                            jnp.where(l0t == lf, lf + 1.0, l0t), lt)
     lodc = lt.reshape(b, hp, wp)
 
-    vmax_slots = 2 * L
     def _stacked(key):
-        return jnp.stack(slots[key], axis=-1).reshape(b * nt, vmax_slots)
+        return jnp.stack(slots[key], axis=-1).reshape(b * nt, 2 * L)
     valid = _stacked("valid")
     order = jnp.argsort((~valid).astype(jnp.int32), axis=-1,
                         stable=True)          # live visits first
@@ -404,17 +438,18 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
 
     def _compact(key):
         return jnp.take_along_axis(_stacked(key), order, axis=-1
-                                   ).reshape(-1)
+                                   )[:, :vmax_slots].reshape(-1)
 
     lw = jnp.asarray([s[1] for s in sizes], jnp.int32)
     lh = jnp.asarray([s[0] for s in sizes], jnp.int32)
 
-    kernel = _make_kernel(L, nt, channels, impl=impl)
+    kernel = _make_kernel(L, nt, channels, impl=impl,
+                          vmax=vmax_slots)
     blk = lambda: pl.BlockSpec(
         (None, TILE_H, TILE_W),
         lambda i, *_: (i // nt, (i % nt) // ntx, (i % nt) % ntx))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=5,
         grid=(b * nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # pyramid in HBM
@@ -433,8 +468,7 @@ def _sample_padded(pyramid, u, v, lodc, maskf, n_levels, sizes, ph, pw,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, channels, hp, wp), jnp.float32),
         interpret=_should_interpret(),
-    )(nvis, _compact("lev"), _compact("wx"), _compact("wy"),
-      _compact("ulo"), _compact("uhi"), _compact("vlo"), _compact("vhi"),
+    )(nvis, _compact("meta"), _compact("geo"),
       lw, lh, pyramid, u, v, lodc, maskf)
 
 
@@ -454,6 +488,33 @@ def sample_pyramid_tiled(mips, u, v, lod, mask, address_mode=REPEAT,
         u, v, lod, mask = u[None], v[None], lod[None], mask[None]
     b, h, w = u.shape
     L = len(mips)
+
+    # The per-tile visit arrays live in SMEM and scale with b * nt —
+    # a frame-folded batch (b = F) at 1080p blows the ~1 MB budget at
+    # F >= 8. Process the batch in sub-batches sized to the budget;
+    # quality is unchanged (visits are per-tile), only launches repeat.
+    nt_single = _cdiv(h, TILE_H) * _cdiv(w, TILE_W)
+    bcap = max(1, SMEM_VISIT_BUDGET // (nt_single * (1 + 2 * MAX_VISITS)
+                                        * 4))
+    if b > bcap:
+        g = _cdiv(b, bcap)
+        pad = g * bcap - b
+        if pad:
+            zpad = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            u, v, lod = zpad(u), zpad(v), zpad(lod)
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((pad,) + mask.shape[1:], bool)])
+        outs = jax.lax.map(
+            lambda args: jnp.stack(
+                sample_pyramid_tiled(mips, *args, address_mode=address_mode,
+                                     channels=channels), axis=1),
+            (u.reshape(g, bcap, h, w), v.reshape(g, bcap, h, w),
+             lod.reshape(g, bcap, h, w), mask.reshape(g, bcap, h, w)))
+        outs = outs.reshape(g * bcap, channels, h, w)[:b]
+        if squeeze:
+            return tuple(outs[0, c] for c in range(channels))
+        return tuple(outs[:, c] for c in range(channels))
 
     pyramid, sizes = build_pyramid(mips, address_mode, channels)
     ph, pw = int(pyramid.shape[2]), int(pyramid.shape[3])

@@ -94,7 +94,7 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
                  frames=1, nbands=None, bcap=None, sm_len=None):
     """``frames > 1`` folds a FRAME BATCH into the band grid: grid step
     g renders band g % nbands of frame g // nbands. Per-band scalar
-    arrays (band_start/band_end pre-offset by frame*MC, sub_of_chunk)
+    arrays (band_start/band_end pre-offset by frame*MC, sub4_of_chunk)
     arrive flattened [F*NB]/[F*MC]; per-frame arrays (big list, fused
     uniforms, window min/max, the shadow map rows) are indexed at
     frame offsets. One kernel launch renders the whole batch — the
@@ -380,24 +380,24 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             # Fused-shade mode: depth / winner / gout are SCRATCH (they
             # never leave VMEM); the only output is the shaded band.
             if fused["shadow"] is not None:
-                (band_start, band_end, sub_of_chunk, big_n, big_tri,
+                (band_start, band_end, sub4_of_chunk, big_n, big_tri,
                  big_attr, big_aabb, funi, smin_r, smax_r,
                  chunks_hbm, attrs_hbm, smap_hbm, fb_out,
                  depth_out, win_out, gout, cbuf, abuf, sems,
                  swin, ssem, dbuf) = args
             else:
-                (band_start, band_end, sub_of_chunk, big_n, big_tri,
+                (band_start, band_end, sub4_of_chunk, big_n, big_tri,
                  big_attr, big_aabb, funi,
                  chunks_hbm, attrs_hbm, fb_out,
                  depth_out, win_out, gout, cbuf, abuf, sems) = args
             outs = (depth_out, win_out, gout)
         elif with_attrs:
-            (band_start, band_end, sub_of_chunk, big_n, big_tri,
+            (band_start, band_end, sub4_of_chunk, big_n, big_tri,
              big_attr, big_aabb, chunks_hbm, attrs_hbm,
              depth_out, win_out, gout, cbuf, abuf, sems) = args
             outs = (depth_out, win_out, gout)
         else:
-            (band_start, band_end, sub_of_chunk, big_n, big_tri,
+            (band_start, band_end, sub4_of_chunk, big_n, big_tri,
              big_aabb, chunks_hbm, depth_out, win_out,
              cbuf, sems) = args
             outs = (depth_out, win_out)
@@ -456,7 +456,11 @@ def _make_kernel(ntx, tile_h, tile_w, sample_offsets, clear_depth,
             wait_dma(slot, ci)
             cols = prep_cols(cbuf[slot],
                              abuf[slot] if with_attrs else None)
-            process_chunk(cols, sub_of_chunk[ci], oy, outs)
+            # Subtile ids are byte-packed 4/i32 (SMEM is the scarce
+            # resource: unpacked they exceed the budget at 1M tris @4K).
+            sub = jax.lax.shift_right_logical(
+                sub4_of_chunk[ci // 4], (ci % 4) * 8) & 0xFF
+            process_chunk(cols, sub, oy, outs)
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -924,7 +928,7 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     # Big-triangle fields ride as SCALAR PREFETCH (SMEM): the kernel
     # reads each live big triangle's planes as scalars and broadcasts —
     # no chunk padding, no DMA. Order must match the kernel unpack.
-    scalars = [bins.band_start, bins.band_end, bins.sub_of_chunk,
+    scalars = [bins.band_start, bins.band_end, bins.sub4_of_chunk,
                bins.big_n, bins.big_tri]
     if with_attrs:
         scalars.append(bins.big_attr)
@@ -1048,7 +1052,7 @@ def render_fused(setup: TriangleSetup, pass_geom, fused_uniforms,
                           clear_depth, with_attrs=True, attr_px=True,
                           fused={"shadow": sh_cfg})
 
-    scalars = [bins.band_start, bins.band_end, bins.sub_of_chunk,
+    scalars = [bins.band_start, bins.band_end, bins.sub4_of_chunk,
                bins.big_n, bins.big_tri, bins.big_attr, bins.big_tri_aabb,
                fused_uniforms]
     if sh_cfg is not None:
@@ -1117,7 +1121,7 @@ def _flatten_bins(bins, F):
     return dict(
         band_start=(bins.band_start + off).reshape(-1),
         band_end=(bins.band_end + off).reshape(-1),
-        sub_of_chunk=bins.sub_of_chunk.reshape(-1),
+        sub4_of_chunk=bins.sub4_of_chunk.reshape(-1),
         chunks=bins.chunks.reshape(F * MC, 4, COLS),
         attr_chunks=(bins.attr_chunks.reshape(F * MC, 4, ATTR_COLS)
                      if bins.attr_chunks is not None else None),
@@ -1155,7 +1159,7 @@ def rasterize_depth_batch(setup_b: TriangleSetup, size, tile_h, tile_w,
                           with_attrs=False, frames=F, nbands=nty,
                           bcap=big_capacity)
 
-    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+    scalars = [flat["band_start"], flat["band_end"], flat["sub4_of_chunk"],
                flat["big_n"], flat["big_tri"], flat["big_tri_aabb"]]
     out_block = lambda r: pl.BlockSpec(
         (None, r, ntx * p8w), lambda b, *refs: (b, 0, 0))
@@ -1220,7 +1224,7 @@ def rasterize_tiles_batch(setup_b: TriangleSetup, pass_geom_b,
                           clear_depth, with_attrs=True, attr_px=True,
                           frames=F, nbands=nty, bcap=big_capacity)
 
-    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+    scalars = [flat["band_start"], flat["band_end"], flat["sub4_of_chunk"],
                flat["big_n"], flat["big_tri"], flat["big_attr"],
                flat["big_tri_aabb"]]
     out_block = lambda r, w: pl.BlockSpec(
@@ -1322,7 +1326,7 @@ def render_fused_batch(setup_b: TriangleSetup, pass_geom_b, funi_b,
                           fused={"shadow": sh_cfg}, frames=F, nbands=nty,
                           bcap=big_capacity, sm_len=sm_len)
 
-    scalars = [flat["band_start"], flat["band_end"], flat["sub_of_chunk"],
+    scalars = [flat["band_start"], flat["band_end"], flat["sub4_of_chunk"],
                flat["big_n"], flat["big_tri"], flat["big_attr"],
                flat["big_tri_aabb"], funi_b.reshape(-1)]
     if sh_cfg is not None:

@@ -9,15 +9,35 @@ and driver rounds on the same machine — a cache hit. Tests already
 used this (tests/conftest.py); round 5 extends it to the benchmark and
 CLI entry points, which previously paid full compile cost every run.
 
-The cache lives in ``<repo>/.jax_cache`` (gitignored). Entries are
-keyed by platform + jaxlib fingerprint, so CPU and TPU runs coexist.
+The cache lives in ``<repo>/.jax_cache/<host-cpu-fingerprint>``
+(gitignored). Entries are keyed by platform + jaxlib fingerprint, so
+CPU and TPU runs coexist. The host-CPU fingerprint subdirectory exists
+because this sandbox MIGRATES between hosts with different CPU feature
+sets: XLA:CPU AOT artifacts compiled with e.g. ``+prefer-no-scatter``
+SIGSEGV when loaded on a host without it (observed r5 — the whole test
+suite crashed on stale cache entries after a VM restart).
 """
+import hashlib
 import os
 import pathlib
 
 import jax
 
-_DEFAULT_DIR = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+
+def host_cpu_fingerprint():
+    """Short stable hash of the host CPU's feature flags."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown-cpu"
+
+
+_DEFAULT_DIR = (pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+                / host_cpu_fingerprint())
 
 
 def enable_persistent_cache(cache_dir=None, min_compile_secs=1.0):
@@ -34,6 +54,13 @@ def enable_persistent_cache(cache_dir=None, min_compile_secs=1.0):
     plat = os.environ.get("METALRENDERER_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    if jax.default_backend() != "tpu":
+        # CPU runs must NOT touch the persistent cache: XLA:CPU AOT
+        # executable (de)serialization crashes across this sandbox's
+        # host migrations (SIGSEGV loading foreign-host entries,
+        # SIGABRT writing on some hosts). TPU entries come from the
+        # remote compile helper and are host-independent.
+        return None
     cache_dir = (cache_dir
                  or os.environ.get("METALRENDERER_CACHE_DIR")
                  or str(_DEFAULT_DIR))

@@ -21,11 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: interpret-mode Pallas kernels are plain
-# XLA programs whose ~20 s compiles dominate the suite wall-clock; a
-# warm cache brings the default tier well under the 5-minute target.
-# (First run on a fresh checkout still pays full compile cost.)
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
-                          ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache for the CPU suite: this sandbox
+# migrates between hosts with different CPU feature sets, and the
+# XLA:CPU AOT executable (de)serialization both SIGSEGVs loading
+# entries from another host AND SIGABRTs writing them on some hosts
+# (observed r5 after a VM restart — the whole suite died twice). The
+# cache stays enabled for TPU entry points only, where the remote
+# compile result is host-independent (utils/compile_cache.py).

@@ -177,3 +177,69 @@ def test_public_render_batch_api():
         # bitwise guarantees are asserted against render_frame above.
         np.testing.assert_allclose(np.asarray(fbs[i]), np.asarray(fb),
                                    atol=5e-5)
+
+
+def _assert_render_equiv(got, want, big=1e-3, big_frac=0.005):
+    """Equality up to compile-context ULP: a lax.scan-wrapped program
+    fuses the XLA prep arithmetic differently than the same ops run
+    eagerly, and last-ULP vertex/depth differences legitimately flip a
+    few sub-pixel coverage / shadow-compare decisions at edges (a
+    flipped shadow compare moves a pixel by the full 0.5 shadow
+    factor). Bound the POPULATION of such flips and the mean error,
+    not the per-pixel magnitude."""
+    d = np.abs(np.asarray(got) - np.asarray(want))
+    assert (d > big).mean() <= big_frac, (d > big).mean()
+    assert d.mean() <= 1e-4, d.mean()
+
+
+def test_chunked_batch_matches_whole_fold():
+    """render_frame_batch_chunked (the serving shape for long batches —
+    whole-batch folds blow the SMEM scalar-prefetch budget past ~8
+    frames, r5 TPU bisect) == the whole fold up to compile-context ULP
+    edge flips; the in-scan frame_map variant reduces each chunk without
+    materializing frames."""
+    from metalrenderer_tpu.passes.pipeline import render_frame_batch_chunked
+
+    cfg = RenderConfig(width=128, height=64, msaa=4, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    disps = jnp.linspace(0.0, 0.4, 4)
+    thetas = jnp.linspace(2.2, 2.8, 4)
+
+    rgba_w, stats_w = render_frame_batch_fused(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
+    rgba_c, stats_c = render_frame_batch_chunked(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas, chunk=2)
+    assert rgba_c.shape == (4, 64, 128, 4)
+    _assert_render_equiv(rgba_c, rgba_w)
+    np.testing.assert_array_equal(np.asarray(stats_c["big_dropped"]),
+                                  np.asarray(stats_w["big_dropped"]))
+
+    # frame_map reduces inside the scan; vs the full chunked render the
+    # only delta is the reduction itself.
+    means, _ = render_frame_batch_chunked(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas, chunk=2,
+        frame_map=lambda r: jnp.mean(r, axis=(1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(means.reshape(4, 4)),
+        np.asarray(jnp.mean(rgba_c, axis=(1, 2))), atol=1e-5)
+
+
+def test_render_batch_auto_chunks_long_batches():
+    """render_batch's chunk="auto" folds a 16-frame batch in sub-batches
+    and matches the whole fold (same ULP-flip bound as above)."""
+    import metalrenderer_tpu as mr
+
+    cfg = RenderConfig(width=128, height=64, msaa=1, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    disps = jnp.linspace(0.0, 0.3, 16)
+    thetas = jnp.linspace(2.2, 2.8, 16)
+
+    fbs, _ = mr.render_batch(scene, cam, lighting, disps, thetas,
+                             config=cfg, shadow_target=(0.0, 0.0, -1.0))
+    rgba_w, _ = render_frame_batch_fused(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
+    _assert_render_equiv(fbs, rgba_w)

@@ -35,8 +35,9 @@ REPS = 3
 if os.environ.get("BENCH_SMOKE"):   # CI flow check at toy scale
     WIDTH, HEIGHT, FRAMES, REPS = 128, 64, 2, 1
 METRIC = "audio_app_1080p_msaa4_two_pass_pixels_shaded"
-# Last driver-verified flagship number (BENCH_r02.json, real TPU).
-LAST_VERIFIED_MPIX_S = 98.27
+# Last driver-verified flagship number (round-5 TPU sweep, step 20 of
+# benchmarks/tpu_round5b.sh: 475.46 Mpixel/s/chip, per_frame_scan).
+LAST_VERIFIED_MPIX_S = 475.46
 PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
 
 

@@ -35,9 +35,9 @@ REPS = 3
 if os.environ.get("BENCH_SMOKE"):   # CI flow check at toy scale
     WIDTH, HEIGHT, FRAMES, REPS = 128, 64, 2, 1
 METRIC = "audio_app_1080p_msaa4_two_pass_pixels_shaded"
-# Last driver-verified flagship number (round-5 TPU sweep, step 20 of
-# benchmarks/tpu_round5b.sh: 475.46 Mpixel/s/chip, per_frame_scan).
-LAST_VERIFIED_MPIX_S = 475.46
+# Last driver-verified flagship number (round-5 on-TPU bench at HEAD:
+# 491.67 Mpixel/s/chip, per_frame_scan, 128-frame batch).
+LAST_VERIFIED_MPIX_S = 491.67
 PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
 
 
@@ -92,7 +92,8 @@ def _measure_shape(shape_name, scene, camera, lighting, config):
 
     from metalrenderer_tpu.config import ShadowConfig
     from metalrenderer_tpu.passes.pipeline import (
-        render_frame, render_frame_batch_chunked, render_frame_batch_fused)
+        render_frame, render_frame_batch_chunked, render_frame_batch_fused,
+        render_frame_batch_hoisted)
     from metalrenderer_tpu.utils import profiling
 
     # Scene/camera/lighting are explicit jit ARGUMENTS: closing over
@@ -110,6 +111,18 @@ def _measure_shape(shape_name, scene, camera, lighting, config):
                 return carry + jnp.mean(fb), jnp.mean(fb, axis=(0, 1))
             total, means = jax.lax.scan(one_frame, jnp.float32(0.0), disps)
             return total, means
+    elif shape_name == "hoisted_scan":
+        # Prep + binning for every frame vectorized OUT of the scan;
+        # scan body = the two kernel launches only (the per_frame_scan
+        # kernels, unchanged). Attacks the 1.44 ms/frame in-scan prep
+        # cost measured by benchmarks/scan_prep_probe.py.
+        @jax.jit
+        def run_batch(scene, camera, lighting, disps, thetas):
+            means, _ = render_frame_batch_hoisted(
+                scene, camera, lighting, config, ShadowConfig(),
+                disps, thetas,
+                frame_map=lambda rgba: jnp.mean(rgba, axis=(0, 1)))
+            return jnp.sum(jnp.mean(means, axis=-1)), means
     elif shape_name == "fused_chunked":
         # Compile-proven serving shape for long batches: lax.scan over
         # fused sub-batches of FUSED_CHUNK_FRAMES (the whole-batch fold
@@ -192,8 +205,10 @@ def _run():
         shapes = ["per_frame_scan"]
     elif "--chunked" in sys.argv:
         shapes = ["fused_chunked"]
+    elif "--hoisted" in sys.argv:
+        shapes = ["hoisted_scan"]
     else:
-        shapes = ["per_frame_scan", "fused_chunked", "frame_folded"]
+        shapes = ["per_frame_scan", "hoisted_scan", "fused_chunked"]
 
     results = []
     for s in shapes:

@@ -420,6 +420,118 @@ def render_frame_batch_fused(scene: Scene, camera, lighting,
     return rgba, stats
 
 
+def render_frame_batch_hoisted(scene: Scene, camera, lighting,
+                               config: RenderConfig,
+                               shadow_config: ShadowConfig,
+                               displacements, thetas,
+                               shadow_target=(0.0, 0.0, -1.0),
+                               frame_map=None):
+    """Hoisted-prep serving shape: prep + binning for ALL frames run
+    ONCE, vectorized across the batch (one vmapped XLA chain), then a
+    ``lax.scan`` whose body is only the two per-frame kernel launches.
+
+    Motivation (benchmarks/scan_prep_probe_r05.json, TPU v5e): inside
+    the per_frame_scan shape the pure-XLA prep chain (bake, project,
+    clip_near, guard clip, setup, binning for both passes) costs
+    1.44 ms of the 3.96 ms frame — a long chain of tiny ops that a scan
+    re-sequences per frame. Hoisting it out leaves the scan body at the
+    kernels' cost while keeping each kernel in its compile-proven
+    UNBATCHED shape (the whole-batch fold blows the SMEM scalar-prefetch
+    budget — see render_frame_batch_chunked).
+
+    Eligibility matches render_frame's fused_ok (untextured
+    Blinn-Phong/emissive/shadow materials, point light, per-pixel
+    8x128 tiles); output is BIT-IDENTICAL to per-frame render_frame
+    (tests/test_fused_batch.py). ``frame_map``: optional fn(rgba
+    f32[H, W, 4]) -> pytree applied inside the scan so long batches
+    need not materialize [F, H, W, 4] in HBM. Returns (rgba
+    f32[F, H, W, 4] — or stacked frame_map outputs — and stats with
+    per-frame leaves).
+    """
+    from ..raster import raster_pallas
+    from ..raster.binning import (bin_triangles, build_attr_fields,
+                                  build_tri_fields)
+
+    light = lighting.light
+    if isinstance(light, lights_mod.DirectionalLight):
+        raise ValueError("hoisted batch path needs a point light")
+    if len(scene.textures):
+        raise ValueError("hoisted batch path is untextured-only")
+    if not (config.shading_per_pixel and config.fused_shade
+            and config.tile_h == 8 and config.tile_w == 128):
+        raise ValueError("hoisted batch path needs per-pixel 8x128 config")
+
+    displacements = jnp.asarray(displacements, jnp.float32)
+    thetas = jnp.asarray(thetas, jnp.float32)
+    wants_shadow = _wants_shadow(scene)
+    shadow_target_a = jnp.asarray(shadow_target, jnp.float32)
+    light_anchor = lights_mod.light_anchor_position(
+        light, shadow_target, shadow_config)
+    if wants_shadow:
+        light_view = lights_mod.light_view_matrix(
+            light_anchor, shadow_target_a)
+        light_proj = lights_mod.light_projection_matrix(shadow_config)
+        m = jnp.dot(light_proj, light_view, precision="highest")
+    else:
+        m = jnp.zeros((4, 4), jnp.float32)
+    S = config.shadow_map_size
+
+    def prep_frame(disp, theta):
+        cam = camera.replace(theta=theta)
+        geom = bake(scene, disp)
+        out = {}
+        if wants_shadow:
+            clip_l = project(geom.world, light_view, light_proj)
+            clip_l2, _, parent_l = clip_near(clip_l.reshape(-1, 3, 4))
+            setup_l = setup_triangles(
+                clip_l2, S, S, cull_backfaces=False,
+                near_eps=config.near_eps)
+            setup_l = setup_l.replace(
+                valid=setup_l.valid & geom.cast_shadow[parent_l])
+            out["setup_l"] = setup_l
+            # Mirrors render_frame's shadow rasterize_tiles call: the
+            # shadow pass bins with the DEFAULT span cap.
+            out["sbins"] = bin_triangles(
+                setup_l, build_tri_fields(setup_l), S, S,
+                config.shadow_tile_w, config.shadow_tile_h,
+                big_capacity=config.big_capacity)
+        setup, pg = prepare_main_pass(
+            geom, cam.view_matrix(), cam.projection_matrix(), config)
+        out["setup"], out["pg"] = setup, pg
+        out["mbins"] = bin_triangles(
+            setup, build_tri_fields(setup), config.width, config.height,
+            config.tile_w, config.tile_h, span_cap=config.span_cap,
+            big_capacity=config.big_capacity,
+            attr_fields=build_attr_fields(setup, pg))
+        out["funi"] = _fused_uniforms(m, cam, light_anchor, light,
+                                      lighting, config)
+        return out
+
+    batch = jax.vmap(prep_frame)(displacements, thetas)
+
+    def body(carry, xs):
+        shadow_map = None
+        if wants_shadow:
+            depth_sm, _, _, _ = raster_pallas.rasterize_tiles(
+                xs["setup_l"], S, S, config.shadow_tile_h,
+                config.shadow_tile_w, ((0.5, 0.5),),
+                big_capacity=config.big_capacity, clear_depth=1.0,
+                bins=xs["sbins"])
+            shadow_map = depth_sm[0]
+        rgba, covf, rstats = raster_pallas.render_fused(
+            xs["setup"], xs["pg"], xs["funi"],
+            config.width, config.height,
+            tuple(config.sample_positions), shadow_map=shadow_map,
+            span_cap=config.span_cap, big_capacity=config.big_capacity,
+            clear_depth=config.clear_depth, bins=xs["mbins"])
+        out = rgba if frame_map is None else frame_map(rgba)
+        return carry, (out, rstats["big_dropped"], jnp.mean(covf))
+
+    _, (outs, big_dropped, covf) = jax.lax.scan(
+        body, jnp.float32(0.0), batch)
+    return outs, {"big_dropped": big_dropped, "covered_fraction": covf}
+
+
 def px_batch_eligible(scene: Scene, lighting, config: RenderConfig,
                       camera=None) -> bool:
     """Static check for the TEXTURED frame-batched path: per-pixel

@@ -865,7 +865,7 @@ def _should_interpret():
 def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
                     sample_offsets, span_cap=8, big_capacity=256,
                     clear_depth=1.0, with_attrs=False, pass_geom=None,
-                    attr_px=False):
+                    attr_px=False, bins=None):
     """Visibility (+ optional fused G-buffer attributes).
 
     Returns (depth f32[S,H,W], winner-tri i32[S,H,W], gout or None, stats).
@@ -876,15 +876,21 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
     semantics — first covered sample's winner, evaluated at that
     sample's position). gout is then f32[16, H, W] and its band layout
     unfolds as a pure reshape (no lane/sublane relayout at all).
+
+    ``bins``: optional precomputed TileBins (from the same setup /
+    tile shape / caps) — lets serving shapes hoist binning OUT of a
+    per-frame scan and vectorize it across frames while the kernel
+    launch stays per-frame (the hoisted-prep shape).
     """
     if attr_px:
         assert with_attrs and tile_h == TILE8_H and tile_w == 128
-    fields = build_tri_fields(setup)
-    attr_fields = (build_attr_fields(setup, pass_geom)
-                   if with_attrs else None)
-    bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
-                         span_cap=span_cap, big_capacity=big_capacity,
-                         attr_fields=attr_fields)
+    if bins is None:
+        fields = build_tri_fields(setup)
+        attr_fields = (build_attr_fields(setup, pass_geom)
+                       if with_attrs else None)
+        bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
+                             span_cap=span_cap, big_capacity=big_capacity,
+                             attr_fields=attr_fields)
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     P = tile_h * tile_w
@@ -990,7 +996,8 @@ def rasterize_tiles(setup: TriangleSetup, width, height, tile_h, tile_w,
 )
 def render_fused(setup: TriangleSetup, pass_geom, fused_uniforms,
                  width, height, sample_offsets, shadow_map=None,
-                 span_cap=8, big_capacity=256, clear_depth=1.0):
+                 span_cap=8, big_capacity=256, clear_depth=1.0,
+                 bins=None):
     """Raster + full fragment stage in ONE band kernel (fused-shade).
 
     The per-pixel G-buffer (gout) and the per-sample depth/winner planes
@@ -1003,15 +1010,18 @@ def render_fused(setup: TriangleSetup, pass_geom, fused_uniforms,
 
     ``fused_uniforms``: f32[FU_LEN] (see FU_* layout).
     ``shadow_map``: optional f32[S, S] light-space depth map.
+    ``bins``: optional precomputed TileBins (hoisted-prep serving shape;
+    must come from the same setup / 8x128 tiles / caps).
     Returns (rgba f32[H, W, 4], covered_frac f32[H, W], stats).
     """
     from .sample_pallas import window_shape
     tile_h, tile_w = TILE8_H, 128
-    fields = build_tri_fields(setup)
-    attr_fields = build_attr_fields(setup, pass_geom)
-    bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
-                         span_cap=span_cap, big_capacity=big_capacity,
-                         attr_fields=attr_fields)
+    if bins is None:
+        fields = build_tri_fields(setup)
+        attr_fields = build_attr_fields(setup, pass_geom)
+        bins = bin_triangles(setup, fields, width, height, tile_w, tile_h,
+                             span_cap=span_cap, big_capacity=big_capacity,
+                             attr_fields=attr_fields)
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     P = tile_h * tile_w

@@ -39,6 +39,41 @@ def test_fused_batch_matches_per_frame():
                                       np.asarray(fb))
 
 
+def test_hoisted_batch_matches_per_frame():
+    """The hoisted-prep serving shape (vectorized prep/binning + scan of
+    unbatched kernel launches) == per-frame rendering, bit for bit —
+    including the heavy near-clip divergence frame."""
+    from metalrenderer_tpu.passes.pipeline import render_frame_batch_hoisted
+
+    cfg = RenderConfig(width=128, height=64, msaa=4, shadow_map_size=64)
+    cam = OrbitCamera(radius=5.0, theta=2.5, phi=1.2, aspect=2.0)
+    scene = audio_app.build_scene()
+    lighting = Lighting.default()
+    disps = jnp.asarray([0.0, 0.35, 5.0], jnp.float32)
+    thetas = jnp.asarray([2.5, 2.8, 2.2], jnp.float32)
+
+    rgba_b, stats = render_frame_batch_hoisted(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas)
+    assert rgba_b.shape == (3, 64, 128, 4)
+    assert stats["big_dropped"].shape == (3,)
+
+    for i in range(3):
+        fb, _ = render_frame(scene, cam.replace(theta=float(thetas[i])),
+                             lighting, cfg, ShadowConfig(),
+                             float(disps[i]), (0.0, 0.0, -1.0),
+                             backend="pallas")
+        np.testing.assert_array_equal(np.asarray(rgba_b[i]),
+                                      np.asarray(fb))
+
+    # frame_map reduction path (the bench shape) matches too.
+    means, _ = render_frame_batch_hoisted(
+        scene, cam, lighting, cfg, ShadowConfig(), disps, thetas,
+        frame_map=lambda rgba: jnp.mean(rgba, axis=(0, 1)))
+    np.testing.assert_allclose(
+        np.asarray(means),
+        np.asarray(jnp.mean(rgba_b, axis=(1, 2))), rtol=1e-6)
+
+
 def test_audio_sequence_batched_matches_per_frame():
     """The audio-reactive serving path (per-frame light color/intensity,
     batched kernels) == the per-frame fused path, bit for bit."""
